@@ -1,0 +1,33 @@
+"""rsoderh_raytracing_tpu — a TPU-native progressive Monte Carlo path tracer.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
+renderer INDA25PlusPlus/rsoderh-raytracing (Rust + WGSL + wgpu):
+
+- TOML scene descriptions (same schema: ``[[material]]``, ``[[object]]``
+  tagged ``Sphere``/``Plane``/``Mesh`` entries, ``[camera]``), OBJ meshes,
+  HDRI environment lighting with alias-table importance sampling.
+- Physically based GGX + Lambert BSDF with VNDF sampling, next-event
+  estimation and power-heuristic MIS, progressive per-sample accumulation,
+  ACES tonemapping.
+- The render inner loop is a wavefront of rays batched across
+  pixels x samples, jitted on TPU; intersection runs as dense vectorized
+  primitive tests (VPU/MXU friendly) with optional Pallas kernels; scaling
+  across chips uses ``jax.sharding.Mesh`` + ``shard_map`` with ``psum``
+  sample reduction.
+
+Host-side scene building (TOML/OBJ parsing, SAH BVH build, alias tables)
+lives in numpy with an optional C++ native fast path.
+"""
+
+__version__ = "0.1.0"
+
+from rsoderh_raytracing_tpu.scene.toml_loader import load_scene  # noqa: F401
+from rsoderh_raytracing_tpu.scene.camera import Camera  # noqa: F401
+
+
+def render(scene, width=512, height=512, spp=16, **kwargs):
+    """Convenience one-shot render. See render/renderer.py:Renderer."""
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+
+    renderer = Renderer(scene, width=width, height=height, **kwargs)
+    return renderer.render(spp=spp)

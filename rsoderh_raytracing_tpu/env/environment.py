@@ -1,0 +1,162 @@
+"""Environment map set: HDRI textures + alias tables, host and device side.
+
+Parallels the reference's EnvironmentMaps (src/environments.rs:8-85): N
+equirect HDRIs with per-pixel luminance*sin(theta) alias tables. The
+reference concatenates all alias tables into one buffer with per-env
+metadata {width, height, start_index}; on TPU each environment is its own
+pytree of static-shape arrays and the *active* environment is selected
+host-side (switching environments resets progressive accumulation anyway,
+so it is a recompile-free array swap, not traced control flow).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsoderh_raytracing_tpu.env.alias_table import (
+    AliasTable,
+    build_alias_table,
+    build_weights_by_luminance,
+)
+from rsoderh_raytracing_tpu.env import hdr_io
+
+# Names of the two HDRIs the reference embeds (src/state.rs:119-122).
+DEFAULT_ENVIRONMENT_NAMES = ("winter_lake_01_2k", "passendorf_snow_2k")
+
+
+@dataclasses.dataclass
+class Environment:
+    """One HDRI + its importance-sampling table (host side)."""
+
+    name: str
+    texture: np.ndarray  # (H, W, 3) float32, lat-long
+    alias: AliasTable
+
+    @property
+    def width(self) -> int:
+        return self.texture.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.texture.shape[0]
+
+    @staticmethod
+    def from_texture(name: str, texture: np.ndarray) -> "Environment":
+        weights = build_weights_by_luminance(texture)
+        return Environment(
+            name=name, texture=texture, alias=build_alias_table(weights)
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceEnvironment:
+    """The active environment on device. Consumed by ops/envmap.py."""
+
+    texture: Any  # (H, W, 3) f32
+    alias_probability: Any  # (H*W,) f32
+    alias_index: Any  # (H*W,) i32
+    alias_pmf: Any  # (H*W,) f32
+
+
+def device_environment(env: Environment) -> DeviceEnvironment:
+    return DeviceEnvironment(
+        texture=jnp.asarray(env.texture),
+        alias_probability=jnp.asarray(env.alias.probability),
+        alias_index=jnp.asarray(env.alias.alias_index),
+        alias_pmf=jnp.asarray(env.alias.pmf),
+    )
+
+
+class EnvironmentMaps:
+    """Ordered set of environments; index cycling matches the reference's
+    'e' key behavior (src/camera.rs:271-278)."""
+
+    def __init__(self, environments: List[Environment]):
+        if not environments:
+            raise ValueError("need at least one environment")
+        self.environments = environments
+
+    def __len__(self) -> int:
+        return len(self.environments)
+
+    def __getitem__(self, index: int) -> Environment:
+        return self.environments[index]
+
+    def next_index(self, index: int) -> int:
+        index += 1
+        return 0 if index >= len(self.environments) else index
+
+
+def load_default_environments(
+    hdri_dir: str | None = None, resolution: int = 1024
+) -> EnvironmentMaps:
+    """Load HDRIs from `hdri_dir` (any .hdr/.npy files), or synthesize the
+    two default procedural skies if the directory has none.
+
+    The reference's HDRI assets are stripped from its repository mount, so
+    the procedural skies are the default stand-ins; drop real 2k files
+    into assets/hdri/ to use them instead.
+    """
+    if hdri_dir is None:
+        hdri_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            "assets",
+            "hdri",
+        )
+    paths = sorted(
+        glob.glob(os.path.join(hdri_dir, "*.hdr"))
+        + glob.glob(os.path.join(hdri_dir, "*.npy"))
+    )
+    environments = []
+    for path in paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            texture = hdr_io.load_image(path)
+        except (ValueError, OSError) as err:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Skipping HDRI %s: %s", path, err
+            )
+            continue
+        environments.append(Environment.from_texture(name, texture))
+
+    if not environments:
+        width, height = resolution, resolution // 2
+        # Stand-in for winter_lake_01_2k: bright cold sky, high sun.
+        environments.append(
+            Environment.from_texture(
+                DEFAULT_ENVIRONMENT_NAMES[0],
+                hdr_io.procedural_sky(
+                    width,
+                    height,
+                    sun_direction=(0.35, 0.45, -0.82),
+                    sun_intensity=220.0,
+                    zenith_color=(0.22, 0.45, 0.95),
+                ),
+            )
+        )
+        # Stand-in for passendorf_snow_2k: overcast warm low sun.
+        environments.append(
+            Environment.from_texture(
+                DEFAULT_ENVIRONMENT_NAMES[1],
+                hdr_io.procedural_sky(
+                    width,
+                    height,
+                    sun_direction=(-0.6, 0.18, 0.78),
+                    sun_intensity=90.0,
+                    sun_radius=0.035,
+                    zenith_color=(0.45, 0.52, 0.62),
+                    horizon_color=(0.8, 0.78, 0.75),
+                ),
+            )
+        )
+    return EnvironmentMaps(environments)

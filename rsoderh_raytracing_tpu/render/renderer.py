@@ -1,0 +1,119 @@
+"""Renderer: the engine core that owns device state and the render loop.
+
+The TPU counterpart of the reference's State (src/state.rs:29-833): owns
+the device scene arrays, active environment, film, and camera; exposes
+per-sample stepping with the reference's scene-hash-triggered progressive
+reset (moving camera -> 1-spp noise; holding still -> convergence).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from rsoderh_raytracing_tpu.env.environment import (
+    EnvironmentMaps,
+    device_environment,
+    load_default_environments,
+)
+from rsoderh_raytracing_tpu.render.film import Film
+from rsoderh_raytracing_tpu.render.integrator import (
+    MAX_BOUNCES,
+    camera_pytree,
+    render_sample,
+)
+from rsoderh_raytracing_tpu.scene.device import build_device_scene
+from rsoderh_raytracing_tpu.scene.types import Scene
+from rsoderh_raytracing_tpu.utils.png import write_png
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene: Scene,
+        width: int = 512,
+        height: int = 512,
+        environments: Optional[EnvironmentMaps] = None,
+        max_bounces: int = MAX_BOUNCES,
+    ):
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.max_bounces = max_bounces
+        self.device_scene = build_device_scene(scene)
+        self.environments = environments or load_default_environments()
+        self.environment_index = 0
+        self._device_env_cache: dict[int, object] = {}
+        self.camera = scene.camera
+        self.film = Film(width, height)
+        self._last_state_hash: Optional[tuple] = None
+
+    # -- state hash / progressive reset (src/state.rs:774-789) -------------
+
+    def _state_hash(self) -> tuple:
+        return (
+            self.camera.state_hash(),
+            self.environment_index,
+            self.width,
+            self.height,
+        )
+
+    def _device_env(self):
+        idx = self.environment_index
+        if idx not in self._device_env_cache:
+            self._device_env_cache[idx] = device_environment(
+                self.environments[idx]
+            )
+        return self._device_env_cache[idx]
+
+    def next_environment(self) -> int:
+        self.environment_index = self.environments.next_index(
+            self.environment_index
+        )
+        return self.environment_index
+
+    def resize(self, width: int, height: int) -> None:
+        self.width = width
+        self.height = height
+        self.film.resize(width, height)
+        self._last_state_hash = None
+
+    # -- stepping -----------------------------------------------------------
+
+    def step(self) -> int:
+        """Render one progressive sample; resets accumulation if the
+        camera/environment/resolution changed. Returns the sample count."""
+        state_hash = self._state_hash()
+        if state_hash != self._last_state_hash:
+            self.film.reset()
+            self._last_state_hash = state_hash
+
+        sample = render_sample(
+            self.device_scene,
+            self._device_env(),
+            camera_pytree(self.camera),
+            np.uint32(self.film.sample_count),
+            (self.width, self.height),
+            self.max_bounces,
+        )
+        self.film.add_sample(sample)
+        return self.film.sample_count
+
+    def render(self, spp: int = 16, progress: bool = False) -> np.ndarray:
+        """Render `spp` samples and return the tonemapped image (H,W,3)
+        in linear [0,1]."""
+        start = time.perf_counter()
+        for i in range(spp):
+            self.step()
+            if progress and (i + 1) % max(1, spp // 10) == 0:
+                elapsed = time.perf_counter() - start
+                print(
+                    f"  sample {i + 1}/{spp}"
+                    f"  ({(i + 1) / max(elapsed, 1e-9):.2f} spp/s)"
+                )
+        return self.film.tonemapped()
+
+    def save_png(self, path: str) -> None:
+        write_png(path, self.film.srgb8())

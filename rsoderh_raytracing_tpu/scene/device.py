@@ -1,0 +1,172 @@
+"""DeviceScene: the scene as a pytree of padded SoA device arrays.
+
+This is the TPU-side counterpart of the reference's GPU storage buffers
+(src/state.rs:394-458): materials / spheres / planes / triangle data, plus
+the flattened BVH arrays. Unlike the reference (which keeps triangles as
+index triplets into vertex/normal pools and gathers in the kernel), we
+dereference indices on the host into dense per-triangle SoA arrays —
+gather-free, static-shape, VPU-friendly.
+
+Every primitive array is padded to a multiple of `pad_to` lanes with a
+boolean valid mask so shapes stay static under jit regardless of scene
+size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsoderh_raytracing_tpu.scene.types import Scene
+
+
+def _pad_rows(arr: np.ndarray, n: int, fill: float = 0.0) -> np.ndarray:
+    """Pad axis 0 of `arr` to length n with `fill`."""
+    if arr.shape[0] == n:
+        return arr
+    pad_shape = (n - arr.shape[0],) + arr.shape[1:]
+    return np.concatenate(
+        [arr, np.full(pad_shape, fill, dtype=arr.dtype)], axis=0
+    )
+
+
+def _round_up(x: int, multiple: int) -> int:
+    return max(multiple, -(-x // multiple) * multiple)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    # materials (M, ...)
+    mat_color: Any
+    mat_roughness: Any
+    mat_metallic: Any
+    mat_emission: Any
+    # spheres (S, ...)
+    sph_pos: Any
+    sph_radius: Any
+    sph_material: Any
+    sph_valid: Any
+    # planes (P, ...)
+    pln_pos: Any
+    pln_normal: Any
+    pln_bcm: Any  # (P, 3, 3) inverse change-of-basis matrix
+    pln_material: Any
+    pln_valid: Any
+    # triangles (T, ...), fully dereferenced
+    tri_a: Any  # corner 0 position
+    tri_edge0: Any  # b - a
+    tri_edge1: Any  # c - a
+    tri_n0: Any
+    tri_n1: Any
+    tri_n2: Any
+    tri_material: Any
+    tri_valid: Any
+
+    @property
+    def num_sphere_lanes(self) -> int:
+        return self.sph_radius.shape[0]
+
+    @property
+    def num_plane_lanes(self) -> int:
+        return self.pln_valid.shape[0]
+
+    @property
+    def num_triangle_lanes(self) -> int:
+        return self.tri_valid.shape[0]
+
+
+def build_device_scene(scene: Scene, pad_to: int = 8) -> DeviceScene:
+    """Flatten + pad a host Scene into a DeviceScene of jnp arrays."""
+    materials = scene.materials or []
+    m = max(1, len(materials))
+    mat_color = np.zeros((m, 3), np.float32)
+    mat_roughness = np.zeros((m,), np.float32)
+    mat_metallic = np.zeros((m,), np.float32)
+    mat_emission = np.zeros((m, 3), np.float32)
+    for i, mat in enumerate(materials):
+        mat_color[i] = mat.color
+        mat_roughness[i] = mat.roughness
+        mat_metallic[i] = mat.metallic
+        mat_emission[i] = mat.emission
+
+    # Spheres
+    s_n = _round_up(len(scene.spheres), pad_to)
+    sph_pos = np.zeros((s_n, 3), np.float32)
+    sph_radius = np.zeros((s_n,), np.float32)
+    sph_material = np.zeros((s_n,), np.int32)
+    sph_valid = np.zeros((s_n,), bool)
+    for i, sph in enumerate(scene.spheres):
+        sph_pos[i] = sph.pos
+        sph_radius[i] = sph.radius
+        sph_material[i] = sph.material_id
+        sph_valid[i] = True
+
+    # Planes
+    p_n = _round_up(len(scene.planes), pad_to)
+    pln_pos = np.zeros((p_n, 3), np.float32)
+    pln_normal = np.zeros((p_n, 3), np.float32)
+    pln_bcm = np.zeros((p_n, 3, 3), np.float32)
+    pln_material = np.zeros((p_n,), np.int32)
+    pln_valid = np.zeros((p_n,), bool)
+    for i, pln in enumerate(scene.planes):
+        pln_pos[i] = pln.pos
+        pln_normal[i] = pln.normal()
+        pln_bcm[i] = pln.base_change_matrix()
+        pln_material[i] = pln.material_id
+        pln_valid[i] = True
+
+    # Triangles: dereference vertex/normal indices into dense SoA.
+    tris = scene.meshes.triangles
+    t_n = _round_up(len(tris), pad_to)
+    tri_a = np.zeros((t_n, 3), np.float32)
+    tri_edge0 = np.zeros((t_n, 3), np.float32)
+    tri_edge1 = np.zeros((t_n, 3), np.float32)
+    tri_n0 = np.zeros((t_n, 3), np.float32)
+    tri_n1 = np.zeros((t_n, 3), np.float32)
+    tri_n2 = np.zeros((t_n, 3), np.float32)
+    tri_material = np.zeros((t_n,), np.int32)
+    tri_valid = np.zeros((t_n,), bool)
+    if len(tris):
+        v = scene.meshes.vertices
+        n = scene.meshes.normals
+        a = v[tris[:, 0]]
+        b = v[tris[:, 1]]
+        c = v[tris[:, 2]]
+        tri_a[: len(tris)] = a
+        tri_edge0[: len(tris)] = b - a
+        tri_edge1[: len(tris)] = c - a
+        tri_n0[: len(tris)] = n[tris[:, 3]]
+        tri_n1[: len(tris)] = n[tris[:, 4]]
+        tri_n2[: len(tris)] = n[tris[:, 5]]
+        tri_material[: len(tris)] = tris[:, 6]
+        tri_valid[: len(tris)] = True
+
+    as_jnp = lambda x: jnp.asarray(x)  # noqa: E731
+    return DeviceScene(
+        mat_color=as_jnp(mat_color),
+        mat_roughness=as_jnp(mat_roughness),
+        mat_metallic=as_jnp(mat_metallic),
+        mat_emission=as_jnp(mat_emission),
+        sph_pos=as_jnp(sph_pos),
+        sph_radius=as_jnp(sph_radius),
+        sph_material=as_jnp(sph_material),
+        sph_valid=as_jnp(sph_valid),
+        pln_pos=as_jnp(pln_pos),
+        pln_normal=as_jnp(pln_normal),
+        pln_bcm=as_jnp(pln_bcm),
+        pln_material=as_jnp(pln_material),
+        pln_valid=as_jnp(pln_valid),
+        tri_a=as_jnp(tri_a),
+        tri_edge0=as_jnp(tri_edge0),
+        tri_edge1=as_jnp(tri_edge1),
+        tri_n0=as_jnp(tri_n0),
+        tri_n1=as_jnp(tri_n1),
+        tri_n2=as_jnp(tri_n2),
+        tri_material=as_jnp(tri_material),
+        tri_valid=as_jnp(tri_valid),
+    )
