@@ -1,0 +1,234 @@
+"""Vectorized BVH traversal in pure JAX (parity/reference path).
+
+Replicates cast_ray_bvh (shader.wgsl:469-564): per-ray explicit stack of
+node indices (depth 64), front-to-back child ordering by ray direction
+sign on the node's split axis, leaf = linear primitive loop.
+
+On TPU this runs as a `lax.while_loop` whose body advances EVERY ray one
+node per iteration with (N,)-wide gathers — correct and memory-light but
+latency-bound; it exists (a) as the semantic reference for traversal,
+(b) to validate the flat BVH arrays against brute force, and (c) for
+huge scenes where dense testing stops being a win. The production path
+for the reference's scene sizes is ops/intersect.py (dense) and
+ops/pallas_intersect.py (tiled).
+
+Unlike the WGSL megakernel, the leaf primitive test here is fused: leaf
+primitives are tested via the same batched geometry kernels, bounded by
+the BVH's max leaf size (static).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsoderh_raytracing_tpu.accel.bvh import FlatBVH, TRAVERSAL_STACK_DEPTH
+from rsoderh_raytracing_tpu.ops import geometry as geo
+from rsoderh_raytracing_tpu.ops.geometry import INF
+from rsoderh_raytracing_tpu.scene.device import DeviceScene
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceBVH:
+    nodes_min: Any  # (K,3)
+    nodes_max: Any  # (K,3)
+    node_payload: Any  # (K,)
+    node_count: Any  # (K,)
+    node_axis: Any  # (K,)
+    prim_type: Any  # (R,) 0/1/2
+    prim_index: Any  # (R,)
+    max_leaf: int = dataclasses.field(metadata={"static": True})
+
+
+def device_bvh(bvh: FlatBVH) -> DeviceBVH:
+    return DeviceBVH(
+        nodes_min=jnp.asarray(bvh.nodes_min),
+        nodes_max=jnp.asarray(bvh.nodes_max),
+        node_payload=jnp.asarray(bvh.node_payload),
+        node_count=jnp.asarray(bvh.node_count),
+        node_axis=jnp.asarray(bvh.node_axis),
+        prim_type=jnp.asarray(bvh.prim_type),
+        prim_index=jnp.asarray(bvh.prim_index),
+        max_leaf=int(bvh.node_count.max()),
+    )
+
+
+def _leaf_test(scene: DeviceScene, bvh: DeviceBVH, ro, rd, start, count):
+    """Test up to max_leaf primitives starting at `start` for each ray.
+
+    Returns (t, prim_slot) where prim_slot indexes bvh.prim_* arrays,
+    or (INF, -1).
+    """
+    n = ro.shape[0]
+    best_t = jnp.full((n,), INF)
+    best_slot = jnp.full((n,), -1, jnp.int32)
+    num_prims = bvh.prim_type.shape[0]
+
+    for j in range(bvh.max_leaf):
+        slot = jnp.minimum(start + j, num_prims - 1)
+        in_leaf = j < count
+        ptype = jnp.take(bvh.prim_type, slot)
+        pidx = jnp.take(bvh.prim_index, slot)
+
+        # Evaluate all three primitive tests on gathered data; select.
+        s_pos = jnp.take(scene.sph_pos, pidx, axis=0)
+        s_rad = jnp.take(scene.sph_radius, pidx, axis=0)
+        t_s = _sphere_t(ro, rd, s_pos, s_rad)
+
+        p_pos = jnp.take(scene.pln_pos, pidx, axis=0)
+        p_nrm = jnp.take(scene.pln_normal, pidx, axis=0)
+        p_bcm = jnp.take(scene.pln_bcm, pidx, axis=0)
+        t_p = _plane_t(ro, rd, p_pos, p_nrm, p_bcm)
+
+        t_a = jnp.take(scene.tri_a, pidx, axis=0)
+        t_e0 = jnp.take(scene.tri_edge0, pidx, axis=0)
+        t_e1 = jnp.take(scene.tri_e1 if hasattr(scene, "tri_e1") else scene.tri_edge1, pidx, axis=0)
+        t_t = _triangle_t(ro, rd, t_a, t_e0, t_e1)
+
+        t = jnp.where(ptype == 0, t_s, jnp.where(ptype == 1, t_p, t_t))
+        t = jnp.where(in_leaf, t, INF)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_slot = jnp.where(better, slot.astype(jnp.int32), best_slot)
+    return best_t, best_slot
+
+
+def _sphere_t(ro, rd, center, radius):
+    l = ro - center  # noqa: E741
+    a = jnp.sum(rd * rd, axis=-1)
+    b = 2.0 * jnp.sum(rd * l, axis=-1)
+    c = jnp.sum(l * l, axis=-1) - radius * radius
+    disc = b * b - 4 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b > 0, -0.5 * (b + sq), -0.5 * (b - sq))
+    t0 = q / a
+    t1 = c / jnp.where(q == 0, 1.0, q)
+    t = jnp.where(
+        t0 < geo.SPHERE_EPS,
+        t1,
+        jnp.where(t1 < geo.SPHERE_EPS, t0, jnp.minimum(t0, t1)),
+    )
+    t = jnp.where(disc == 0.0, -0.5 * b / a, t)
+    hit = (disc >= 0.0) & (t >= geo.SPHERE_EPS)
+    return jnp.where(hit, t, INF)
+
+
+def _plane_t(ro, rd, pos, normal, bcm):
+    denom = jnp.sum(normal * rd, axis=-1)
+    ok = jnp.abs(denom) >= geo.PLANE_DENOM_EPS
+    t = jnp.sum(normal * (pos - ro), axis=-1) / jnp.where(ok, denom, 1.0)
+    inter = ro + rd * t[..., None] - pos
+    local = jnp.einsum("nij,nj->ni", bcm, inter)
+    in_bounds = (
+        (local[..., 0] >= 0)
+        & (local[..., 0] <= 1)
+        & (local[..., 2] >= 0)
+        & (local[..., 2] <= 1)
+    )
+    hit = ok & (t >= geo.PLANE_T_EPS) & in_bounds
+    return jnp.where(hit, t, INF)
+
+
+def _triangle_t(ro, rd, a, e0, e1):
+    rel = ro - a
+    p0 = jnp.cross(rel, e0)
+    p1 = jnp.cross(rd, e1)
+    det = jnp.sum(e0 * p1, axis=-1)
+    ok = jnp.abs(det) >= geo.TRI_DET_EPS
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    u = jnp.sum(rel * p1, axis=-1) * inv
+    v = jnp.sum(rd * p0, axis=-1) * inv
+    t = jnp.sum(e1 * p0, axis=-1) * inv
+    hit = (
+        ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= geo.TRI_T_EPS)
+    )
+    return jnp.where(hit, t, INF)
+
+
+def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
+    """Closest (t, prim_slot) per ray via stack traversal.
+
+    Returns (t (N,), slot (N,) into bvh.prim_* or -1). Matches the node
+    visit order of shader.wgsl:487-557 per lane.
+    """
+    n = ro.shape[0]
+    rd_inv = 1.0 / rd
+
+    stack = jnp.zeros((n, TRAVERSAL_STACK_DEPTH), jnp.int32)
+    stack_len = jnp.zeros((n,), jnp.int32)
+    current = jnp.zeros((n,), jnp.int32)
+    running = jnp.ones((n,), bool)
+    best_t = jnp.full((n,), INF)
+    best_slot = jnp.full((n,), -1, jnp.int32)
+
+    def cond(state):
+        return jnp.any(state[3])
+
+    def body(state):
+        stack, stack_len, current, running, best_t, best_slot = state
+
+        bmin = jnp.take(bvh.nodes_min, current, axis=0)
+        bmax = jnp.take(bvh.nodes_max, current, axis=0)
+        hit_box = geo.ray_intersects_bounds(ro, rd_inv, bmin, bmax) & running
+
+        count = jnp.take(bvh.node_count, current)
+        payload = jnp.take(bvh.node_payload, current)
+        axis = jnp.take(bvh.node_axis, current)
+
+        is_leaf = hit_box & (count > 0)
+        is_interior = hit_box & (count == 0)
+
+        # Leaf: test primitives (executed for all lanes, masked).
+        t, slot = _leaf_test(
+            scene,
+            bvh,
+            ro,
+            rd,
+            jnp.where(is_leaf, payload, 0),
+            jnp.where(is_leaf, count, 0),
+        )
+        better = is_leaf & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_slot = jnp.where(better, slot, best_slot)
+
+        # Interior: push far child, descend near child (front-to-back by
+        # direction sign on the split axis — shader.wgsl:536-547).
+        neg = (
+            jnp.take_along_axis(rd_inv, axis[:, None], axis=1).squeeze(1) < 0.0
+        )
+        near = jnp.where(neg, payload, current + 1)
+        far = jnp.where(neg, current + 1, payload)
+        push = is_interior
+        idx = jnp.clip(stack_len, 0, TRAVERSAL_STACK_DEPTH - 1)
+        stack = jnp.where(
+            push[:, None]
+            & (
+                jnp.arange(TRAVERSAL_STACK_DEPTH)[None, :] == idx[:, None]
+            ),
+            far[:, None],
+            stack,
+        )
+        stack_len = jnp.where(push, stack_len + 1, stack_len)
+
+        # Pop for lanes that finished this node (leaf or box miss).
+        need_pop = running & ~is_interior
+        can_pop = need_pop & (stack_len > 0)
+        new_len = jnp.where(can_pop, stack_len - 1, stack_len)
+        popped = jnp.take_along_axis(
+            stack, jnp.clip(new_len, 0, TRAVERSAL_STACK_DEPTH - 1)[:, None], axis=1
+        ).squeeze(1)
+
+        current = jnp.where(is_interior, near, jnp.where(can_pop, popped, current))
+        running = running & (is_interior | can_pop)
+        stack_len = new_len
+
+        return stack, stack_len, current, running, best_t, best_slot
+
+    state = (stack, stack_len, current, running, best_t, best_slot)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[4], state[5]

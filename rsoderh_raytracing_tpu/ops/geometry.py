@@ -160,6 +160,95 @@ def triangle_hit_attributes(ro, rd, a, e0, e1, n0, n1, n2):
     return jnp.where(backface[..., None], -normal, normal)
 
 
+# -- fast sweep formulation ---------------------------------------------------
+#
+# The naive formulations above broadcast (N,P,3) vectors; for the hot
+# loop we expand every triple product into sums of PER-RAY features
+# (o, d, m = o x d, |o|^2, d.o, d.d) times PER-PRIMITIVE constants
+# precomputed in scene/device.py. The sweep is then pure
+# (N,1) * (1,K) broadcast arithmetic that XLA fuses into the closest-hit
+# reduction with no 3-vector intermediates — the TPU-native shape of
+# shader.wgsl:295-466. Derivations:
+#   det    = d . (e1 x e0)
+#   u*det  = (o x d) . e1 + d . (a x e1)
+#   v*det  = -((o x d) . e0 + d . (a x e0))
+#   t*det  = o . n - a . n,   n = e0 x e1
+
+
+def _bdot(a, b_cols):
+    """(N,3) x (K,3) -> (N,K) as three fused broadcast FMAs."""
+    return (
+        a[:, 0:1] * b_cols[None, :, 0]
+        + a[:, 1:2] * b_cols[None, :, 1]
+        + a[:, 2:3] * b_cols[None, :, 2]
+    )
+
+
+def sphere_distances_fast(ro, rd, scene):
+    """Same result as sphere_distances, via the expanded formulation."""
+    a = jnp.sum(rd * rd, axis=-1, keepdims=True)  # (N,1)
+    d_dot_o = jnp.sum(rd * ro, axis=-1, keepdims=True)
+    o_dot_o = jnp.sum(ro * ro, axis=-1, keepdims=True)
+    b = 2.0 * (d_dot_o - _bdot(rd, scene.sph_pos))  # (N,S)
+    c = o_dot_o - 2.0 * _bdot(ro, scene.sph_pos) + scene.sph_c2[None, :]
+
+    disc = b * b - 4.0 * a * c
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b > 0, -0.5 * (b + sqrt_disc), -0.5 * (b - sqrt_disc))
+    t0 = q / a
+    t1 = c / jnp.where(q == 0.0, 1.0, q)
+    t = jnp.where(
+        t0 < SPHERE_EPS, t1, jnp.where(t1 < SPHERE_EPS, t0, jnp.minimum(t0, t1))
+    )
+    t = jnp.where(disc == 0.0, -0.5 * b / a, t)
+    hit = (disc >= 0.0) & (t >= SPHERE_EPS) & scene.sph_valid[None, :]
+    return jnp.where(hit, t, INF)
+
+
+def plane_distances_fast(ro, rd, scene):
+    """Same result as plane_distances, via the expanded formulation."""
+    denom = _bdot(rd, scene.pln_normal)  # (N,P)
+    ok = jnp.abs(denom) >= PLANE_DENOM_EPS
+    t = (scene.pln_ndotp[None, :] - _bdot(ro, scene.pln_normal)) / jnp.where(
+        ok, denom, 1.0
+    )
+    # plane-space x and z of (o + t d - p) via precomputed bcm rows
+    px = (
+        _bdot(ro, scene.pln_r0)
+        + t * _bdot(rd, scene.pln_r0)
+        - scene.pln_r0dotp[None, :]
+    )
+    pz = (
+        _bdot(ro, scene.pln_r2)
+        + t * _bdot(rd, scene.pln_r2)
+        - scene.pln_r2dotp[None, :]
+    )
+    in_bounds = (px >= 0.0) & (px <= 1.0) & (pz >= 0.0) & (pz <= 1.0)
+    hit = ok & (t >= PLANE_T_EPS) & in_bounds & scene.pln_valid[None, :]
+    return jnp.where(hit, t, INF)
+
+
+def triangle_distances_fast(ro, rd, scene):
+    """Same result as triangle_distances, via the expanded formulation."""
+    m = jnp.cross(ro, rd)  # (N,3)
+    det = _bdot(rd, scene.tri_cdet)  # (N,T)
+    ok = jnp.abs(det) >= TRI_DET_EPS
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    u = (_bdot(m, scene.tri_edge1) + _bdot(rd, scene.tri_cu)) * inv
+    v = -(_bdot(m, scene.tri_edge0) + _bdot(rd, scene.tri_cv)) * inv
+    t = (_bdot(ro, scene.tri_n) - scene.tri_adotn[None, :]) * inv
+    hit = (
+        ok
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= TRI_T_EPS)
+        & scene.tri_valid[None, :]
+    )
+    return jnp.where(hit, t, INF)
+
+
 def ray_intersects_bounds(ro, rd_inv, bounds_min, bounds_max):
     """Slab AABB test with t in [0, inf), no t_max pruning — the exact
     semantics of shader.wgsl:262-293 (including the flat-box/parallel-ray

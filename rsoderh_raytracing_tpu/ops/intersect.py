@@ -35,15 +35,9 @@ def _take(arr, idx):
 
 def closest_hit(scene: DeviceScene, ro, rd) -> HitRecord:
     """Closest intersection along each ray. ro, rd: (N,3)."""
-    t_sph = geo.sphere_distances(
-        ro, rd, scene.sph_pos, scene.sph_radius, scene.sph_valid
-    )
-    t_pln = geo.plane_distances(
-        ro, rd, scene.pln_pos, scene.pln_normal, scene.pln_bcm, scene.pln_valid
-    )
-    t_tri = geo.triangle_distances(
-        ro, rd, scene.tri_a, scene.tri_edge0, scene.tri_edge1, scene.tri_valid
-    )
+    t_sph = geo.sphere_distances_fast(ro, rd, scene)
+    t_pln = geo.plane_distances_fast(ro, rd, scene)
+    t_tri = geo.triangle_distances_fast(ro, rd, scene)
 
     # Per-type winners (N,)
     i_sph = jnp.argmin(t_sph, axis=1)
@@ -103,15 +97,9 @@ def closest_hit(scene: DeviceScene, ro, rd) -> HitRecord:
 
 def any_hit(scene: DeviceScene, ro, rd):
     """True where any primitive blocks the ray. ro, rd: (N,3) -> (N,) bool."""
-    t_sph = geo.sphere_distances(
-        ro, rd, scene.sph_pos, scene.sph_radius, scene.sph_valid
-    )
-    t_pln = geo.plane_distances(
-        ro, rd, scene.pln_pos, scene.pln_normal, scene.pln_bcm, scene.pln_valid
-    )
-    t_tri = geo.triangle_distances(
-        ro, rd, scene.tri_a, scene.tri_edge0, scene.tri_edge1, scene.tri_valid
-    )
+    t_sph = geo.sphere_distances_fast(ro, rd, scene)
+    t_pln = geo.plane_distances_fast(ro, rd, scene)
+    t_tri = geo.triangle_distances_fast(ro, rd, scene)
     return (
         jnp.any(t_sph < INF, axis=1)
         | jnp.any(t_pln < INF, axis=1)

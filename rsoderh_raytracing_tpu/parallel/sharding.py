@@ -1,0 +1,182 @@
+"""Multi-chip scaling: tile x sample sharding over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU; its two axes of parallelism are
+SIMT pixels and progressive samples (SURVEY.md section 2). On TPU those
+become mesh axes:
+
+- ``tile``:   image rows sharded across devices (no halos — rays are
+              independent), like sequence/context parallelism for images.
+- ``sample``: different progressive sample indices per device, reduced
+              with ``psum`` over ICI — sample-parallel rendering. One
+              step over an (T, S) mesh yields S samples at once.
+
+The scene is KB-sized and replicated on every chip. RNG determinism is
+preserved: lanes are seeded by (global pixel index, global sample index),
+so an (8,1) render equals eight sequential single-chip samples summed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rsoderh_raytracing_tpu.render.integrator import (
+    MAX_BOUNCES,
+    generate_camera_rays,
+    trace_rays,
+)
+from rsoderh_raytracing_tpu.ops import rng
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    tile: int | None = None,
+    devices=None,
+) -> Mesh:
+    """Build a (tile, sample) mesh over the available devices.
+
+    With no arguments uses every device on one sample axis (pure
+    sample-parallel — the best default: zero inter-chip traffic until
+    the final psum)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if tile is None:
+        tile = 1
+    if n % tile != 0:
+        raise ValueError(f"tile={tile} does not divide device count {n}")
+    grid = np.array(devices).reshape(tile, n // tile)
+    return Mesh(grid, axis_names=("tile", "sample"))
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "resolution", "max_bounces")
+)
+def render_spp_sharded(
+    scene,
+    env,
+    camera,
+    base_sample,
+    mesh: Mesh,
+    resolution,
+    max_bounces: int = MAX_BOUNCES,
+):
+    """One sharded render step.
+
+    Renders `sample_axis_size` progressive samples (indices base_sample +
+    0..S-1), pixel rows sharded over the `tile` axis, and returns the
+    SUM of the samples as a full (H, W, 3) array (add to the film with
+    weight S). Height must be divisible by the tile axis size.
+    """
+    width, height = resolution
+    tile_n = mesh.shape["tile"]
+    if height % tile_n != 0:
+        raise ValueError(f"height {height} not divisible by tile={tile_n}")
+
+    y, x = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.int32),
+        jnp.arange(width, dtype=jnp.int32),
+        indexing="ij",
+    )
+
+    def shard_fn(scene, env, camera, base_sample, x_blk, y_blk):
+        sample_offset = jax.lax.axis_index("sample").astype(jnp.uint32)
+        xs = x_blk.reshape(-1)
+        ys = y_blk.reshape(-1)
+        pixel_index = (ys * width + xs).astype(jnp.uint32)
+        state = rng.seed(pixel_index, base_sample + sample_offset)
+        state, ro, rd = generate_camera_rays(
+            state, xs, ys, camera, (width, height)
+        )
+        state, light = trace_rays(scene, env, state, ro, rd, max_bounces)
+        light = light.reshape(x_blk.shape + (3,))
+        # Reduce the sample axis so every tile-row block is the sum of
+        # all S samples; rides ICI once per step.
+        return jax.lax.psum(light, axis_name="sample")
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(),  # scene replicated
+            P(),  # env replicated
+            P(),  # camera replicated
+            P(),  # base sample replicated
+            P("tile", None),  # pixel x rows sharded
+            P("tile", None),
+        ),
+        out_specs=P("tile", None, None),
+        check_vma=False,
+    )
+    return fn(scene, env, camera, jnp.uint32(base_sample), x, y)
+
+
+class ShardedRenderer:
+    """Wraps a Renderer to execute steps across a device mesh.
+
+    Each .step() renders S samples (S = sample-axis size) and adds them
+    to the film in one go."""
+
+    def __init__(self, renderer, mesh: Mesh):
+        self.inner = renderer
+        self.mesh = mesh
+
+    @staticmethod
+    def wrap(renderer, spec: str) -> "ShardedRenderer":
+        """spec: 'dp:N' (sample-parallel over N devices) or
+        'tile:T,dp:S' (T x S mesh)."""
+        parts = dict(
+            p.split(":", 1) for p in spec.replace(" ", "").split(",")
+        )
+        n = int(parts.get("dp", len(jax.devices())))
+        tile = int(parts.get("tile", 1))
+        mesh = make_mesh(n_devices=tile * n, tile=tile)
+        return ShardedRenderer(renderer, mesh)
+
+    # Renderer API surface -------------------------------------------------
+    @property
+    def film(self):
+        return self.inner.film
+
+    @property
+    def camera(self):
+        return self.inner.camera
+
+    def save_png(self, path):
+        self.inner.save_png(path)
+
+    def step(self) -> int:
+        inner = self.inner
+        state_hash = inner._state_hash()
+        if state_hash != inner._last_state_hash:
+            inner.film.reset()
+            inner._last_state_hash = state_hash
+
+        from rsoderh_raytracing_tpu.render.integrator import camera_pytree
+
+        s = self.mesh.shape["sample"]
+        summed = render_spp_sharded(
+            inner.device_scene,
+            inner._device_env(),
+            camera_pytree(inner.camera),
+            np.uint32(inner.film.sample_count),
+            self.mesh,
+            (inner.width, inner.height),
+            inner.max_bounces,
+        )
+        # S samples at once: add the sum and bump the counter by S.
+        inner.film.cumulative = inner.film.cumulative + summed
+        inner.film.sample_count += s
+        return inner.film.sample_count
+
+    def render(self, spp: int = 16, progress: bool = False):
+        s = self.mesh.shape["sample"]
+        steps = -(-spp // s)
+        for _ in range(steps):
+            self.step()
+        return self.film.tonemapped()

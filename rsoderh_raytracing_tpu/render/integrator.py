@@ -64,14 +64,20 @@ def trace_rays(
     ray_origin,
     ray_direction,
     max_bounces: int = MAX_BOUNCES,
+    with_stats: bool = False,
 ):
-    """Trace a wavefront of rays to completion. Returns (state, light (N,3)).
+    """Trace a wavefront of rays to completion. Returns (state, light (N,3)),
+    or (state, light, stats) when with_stats — stats = dict with the
+    number of closest-hit rays and NEE shadow rays actually alive, for
+    Mrays/s accounting (SURVEY.md section 5: rays = pixels x spp x mean
+    path length).
 
     Mirrors trace_ray (shader.wgsl:1212-1303) with alive-masking.
     """
 
     def bounce(carry, _):
         state, ro, rd, throughput, incoming, last_pdf, alive = carry
+        n_primary = jnp.sum(alive.astype(jnp.float32))
 
         hit = closest_hit(scene, ro, rd)
         active_hit = alive & hit.did_hit
@@ -156,7 +162,10 @@ def trace_rays(
         rd = jnp.where(continue_path[..., None], sample.direction, rd)
         alive = continue_path
 
-        return (state, ro, rd, throughput, incoming, last_pdf, alive), None
+        n_shadow = jnp.sum(active_hit.astype(jnp.float32))
+        return (state, ro, rd, throughput, incoming, last_pdf, alive), (
+            (n_primary, n_shadow) if with_stats else None
+        )
 
     n = ray_origin.shape[0]
     init = (
@@ -168,9 +177,15 @@ def trace_rays(
         jnp.ones((n,), jnp.float32),
         jnp.ones((n,), bool),
     )
-    (state, _, _, _, incoming, _, _), _ = jax.lax.scan(
+    (state, _, _, _, incoming, _, _), per_bounce = jax.lax.scan(
         bounce, init, None, length=max_bounces
     )
+    if with_stats:
+        stats = {
+            "closest_rays": jnp.sum(per_bounce[0]),
+            "shadow_rays": jnp.sum(per_bounce[1]),
+        }
+        return state, incoming, stats
     return state, incoming
 
 

@@ -66,6 +66,22 @@ class DeviceScene:
     tri_n2: Any
     tri_material: Any
     tri_valid: Any
+    # --- precomputed intersection constants (see ops/geometry.py) -------
+    # The Moller-Trumbore triple products expand into sums of per-ray
+    # features (o, d, o x d) times these per-primitive constants, so the
+    # hot sweep is pure (N,1)x(1,K) broadcast math with no (N,K,3)
+    # intermediates.
+    sph_c2: Any  # (S,) |c|^2 - r^2
+    pln_ndotp: Any  # (P,) n . pos
+    pln_r0: Any  # (P,3) bcm row 0 (plane-space x)
+    pln_r2: Any  # (P,3) bcm row 2 (plane-space z)
+    pln_r0dotp: Any  # (P,)
+    pln_r2dotp: Any  # (P,)
+    tri_cdet: Any  # (T,3) e1 x e0        (det = d . cdet)
+    tri_cu: Any  # (T,3) a x e1           (u*det = m.e1 + d.cu)
+    tri_cv: Any  # (T,3) a x e0           (v*det = -(m.e0 + d.cv))
+    tri_n: Any  # (T,3) e0 x e1           (t*det = o.n - adotn)
+    tri_adotn: Any  # (T,)
 
     @property
     def num_sphere_lanes(self) -> int:
@@ -146,8 +162,35 @@ def build_device_scene(scene: Scene, pad_to: int = 8) -> DeviceScene:
         tri_material[: len(tris)] = tris[:, 6]
         tri_valid[: len(tris)] = True
 
+    # Precompute intersection constants (float64 cross products for the
+    # derived quantities, cast to f32 once).
+    sph_c2 = (sph_pos.astype(np.float64) ** 2).sum(-1) - (
+        sph_radius.astype(np.float64) ** 2
+    )
+    pln_ndotp = (pln_normal * pln_pos).sum(-1)
+    pln_r0 = pln_bcm[:, 0, :]
+    pln_r2 = pln_bcm[:, 2, :]
+    pln_r0dotp = (pln_r0 * pln_pos).sum(-1)
+    pln_r2dotp = (pln_r2 * pln_pos).sum(-1)
+    tri_cdet = np.cross(tri_edge1, tri_edge0)
+    tri_cu = np.cross(tri_a, tri_edge1)
+    tri_cv = np.cross(tri_a, tri_edge0)
+    tri_n = np.cross(tri_edge0, tri_edge1)
+    tri_adotn = (tri_a * tri_n).sum(-1)
+
     as_jnp = lambda x: jnp.asarray(x)  # noqa: E731
     return DeviceScene(
+        sph_c2=as_jnp(sph_c2.astype(np.float32)),
+        pln_ndotp=as_jnp(pln_ndotp.astype(np.float32)),
+        pln_r0=as_jnp(pln_r0.astype(np.float32)),
+        pln_r2=as_jnp(pln_r2.astype(np.float32)),
+        pln_r0dotp=as_jnp(pln_r0dotp.astype(np.float32)),
+        pln_r2dotp=as_jnp(pln_r2dotp.astype(np.float32)),
+        tri_cdet=as_jnp(tri_cdet.astype(np.float32)),
+        tri_cu=as_jnp(tri_cu.astype(np.float32)),
+        tri_cv=as_jnp(tri_cv.astype(np.float32)),
+        tri_n=as_jnp(tri_n.astype(np.float32)),
+        tri_adotn=as_jnp(tri_adotn.astype(np.float32)),
         mat_color=as_jnp(mat_color),
         mat_roughness=as_jnp(mat_roughness),
         mat_metallic=as_jnp(mat_metallic),

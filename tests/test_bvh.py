@@ -1,0 +1,149 @@
+"""BVH builder invariants + traversal parity against brute force."""
+
+import numpy as np
+import pytest
+
+from rsoderh_raytracing_tpu.accel.bvh import (
+    MAX_PRIMITIVES_PER_LEAF,
+    build_bvh,
+    scene_primitive_bounds,
+    validate_bvh,
+)
+from rsoderh_raytracing_tpu.ops import intersect
+from rsoderh_raytracing_tpu.ops.bvh_traverse import device_bvh, traverse_closest
+from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+
+def test_build_default_scene(default_scene):
+    bvh = build_bvh(default_scene)
+    mins, maxs, types, indices = scene_primitive_bounds(default_scene)
+    assert bvh.num_primitives == 23  # 10 spheres + 1 plane + 12 tris
+    validate_bvh(bvh, mins, maxs)
+    assert (bvh.node_count <= MAX_PRIMITIVES_PER_LEAF).all()
+    # Interior second-child links point forward in the flat array.
+    interior = bvh.node_count == 0
+    assert (bvh.node_payload[interior] > np.nonzero(interior)[0]).all()
+
+
+def test_build_house_scene(house_scene):
+    bvh = build_bvh(house_scene)
+    mins, maxs, _, _ = scene_primitive_bounds(house_scene)
+    assert bvh.num_primitives == 56  # 2 spheres + 2 planes + 52 tris
+    validate_bvh(bvh, mins, maxs)
+
+
+def test_traversal_matches_brute_force(house_scene):
+    ds = build_device_scene(house_scene)
+    bvh = device_bvh(build_bvh(house_scene))
+
+    rng = np.random.default_rng(0)
+    n = 512
+    ro = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    ro[:, 1] = rng.uniform(0.2, 5, size=n)  # above ground
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    brute = intersect.closest_hit(ds, ro, rd)
+    t_bvh, slot = traverse_closest(ds, bvh, ro, rd)
+
+    t_bvh = np.asarray(t_bvh)
+    brute_t = np.asarray(brute.distance)
+    brute_hit = np.asarray(brute.did_hit)
+    bvh_hit = np.asarray(slot) >= 0
+
+    # Rays whose direction is exactly axis-parallel can differ (the
+    # reference's flat-AABB quirk); random directions avoid that.
+    np.testing.assert_array_equal(bvh_hit, brute_hit)
+    np.testing.assert_allclose(
+        t_bvh[bvh_hit], brute_t[brute_hit], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_traversal_random_sphere_cloud():
+    """Random sphere-only scene: BVH closest-hit == brute force."""
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Scene,
+        Sphere,
+    )
+
+    rng = np.random.default_rng(1)
+    spheres = [
+        Sphere(
+            pos=rng.uniform(-10, 10, 3),
+            radius=float(rng.uniform(0.1, 1.0)),
+            material_id=0,
+        )
+        for _ in range(100)
+    ]
+    scene = Scene(
+        materials=[Material((1, 1, 1), 1, 0, (0, 0, 0))],
+        spheres=spheres,
+        planes=[],
+        meshes=PackedMeshes.empty(),
+        camera=Camera(pos=[0, 0, 0], yaw=0, pitch=0, fov_y=1.0),
+    )
+    ds = build_device_scene(scene)
+    bvh = device_bvh(build_bvh(scene))
+
+    n = 256
+    ro = rng.uniform(-12, 12, size=(n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    brute = intersect.closest_hit(ds, ro, rd)
+    t_bvh, slot = traverse_closest(ds, bvh, ro, rd)
+    np.testing.assert_array_equal(
+        np.asarray(slot) >= 0, np.asarray(brute.did_hit)
+    )
+    hit = np.asarray(brute.did_hit)
+    np.testing.assert_allclose(
+        np.asarray(t_bvh)[hit], np.asarray(brute.distance)[hit],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_deep_bvh_many_primitives(assets_dir):
+    """Suzanne (968 tris): build + validate + spot-check traversal."""
+    import os
+
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.mesh import load_obj
+    from rsoderh_raytracing_tpu.scene.types import Material, Scene
+
+    with open(os.path.join(assets_dir, "suzanne.obj")) as f:
+        mesh = load_obj(f.read(), 0)
+    scene = Scene(
+        materials=[Material((1, 1, 1), 1, 0, (0, 0, 0))],
+        spheres=[],
+        planes=[],
+        meshes=mesh,
+        camera=Camera(pos=[0, 0, 3], yaw=0, pitch=0, fov_y=1.0),
+    )
+    bvh = build_bvh(scene)
+    mins, maxs, _, _ = scene_primitive_bounds(scene)
+    assert bvh.num_primitives == 968
+    validate_bvh(bvh, mins, maxs)
+    assert bvh.depth < 64  # must fit the traversal stack
+
+    ds = build_device_scene(scene)
+    dbvh = device_bvh(bvh)
+    rng = np.random.default_rng(2)
+    n = 128
+    ro = np.tile(np.float32([0, 0, 3]), (n, 1))
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd[:, 2] -= 1.5  # bias toward the mesh
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    brute = intersect.closest_hit(ds, ro, rd)
+    t_bvh, slot = traverse_closest(ds, dbvh, ro, rd)
+    np.testing.assert_array_equal(
+        np.asarray(slot) >= 0, np.asarray(brute.did_hit)
+    )
+    hit = np.asarray(brute.did_hit)
+    assert hit.sum() > 10
+    np.testing.assert_allclose(
+        np.asarray(t_bvh)[hit], np.asarray(brute.distance)[hit],
+        rtol=1e-4, atol=1e-4,
+    )
