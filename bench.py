@@ -55,51 +55,52 @@ def main() -> int:
     resolution = (size, size)
     n_pixels = size * size
 
-    # --- mean rays/sample from an instrumented low-res run ---------------
-    def stats_fn(scene_, env_, camera_, sample_index):
-        width, height = 256, 256
-        y, x = jnp.meshgrid(
-            jnp.arange(height, dtype=jnp.int32),
-            jnp.arange(width, dtype=jnp.int32),
-            indexing="ij",
-        )
-        x = x.reshape(-1)
-        y = y.reshape(-1)
-        pix = (y * width + x).astype(jnp.uint32)
-        state = rng.seed(pix, sample_index)
-        state, ro, rd = generate_camera_rays(
-            state, x, y, camera_, (width, height)
-        )
-        _, _, stats = trace_rays(
-            scene_, env_, state, ro, rd, max_bounces, with_stats=True
-        )
-        return stats["closest_rays"] + stats["shadow_rays"]
+    from rsoderh_raytracing_tpu.render.wavefront import render_freerun
 
-    stats_jit = jax.jit(stats_fn)
-    total = 0.0
-    n_stat_samples = 4
-    for s in range(n_stat_samples):
-        total += float(stats_jit(ds, env, cam, np.uint32(s)))
-    rays_per_pixel_sample = total / (n_stat_samples * 256 * 256)
+    spp = int(os.environ.get("BENCH_SPP", "16"))
+    # Iteration budget sized so the mean pixel completes ~spp samples
+    # (house mean path length ~3.5 segments).
+    iterations = int(os.environ.get("BENCH_ITERS", str(spp * 4)))
 
-    # --- timed full-size progressive samples ------------------------------
-    warmup = 2
-    timed = int(os.environ.get("BENCH_STEPS", "8"))
-    for s in range(warmup):
-        render_sample(
-            ds, env, cam, np.uint32(s), resolution, max_bounces
-        ).block_until_ready()
+    # --- timed free-run wavefront renders ---------------------------------
+    # Every traced ray lands in the film (free-run keeps all lanes busy,
+    # with per-pixel sample counts), so throughput is measured directly
+    # from the kernel's own ray counters.
+    warmup_img, warmup_counts, _ = render_freerun(
+        ds,
+        env,
+        cam,
+        np.uint32(0),
+        resolution,
+        np.uint32(iterations),
+        max_bounces,
+        with_stats=True,
+    )
+    jax.block_until_ready(warmup_img)
+    counts = np.asarray(warmup_counts)
 
+    timed = int(os.environ.get("BENCH_STEPS", "3"))
+    total_rays = 0.0
     start = time.perf_counter()
     out = None
     for s in range(timed):
-        out = render_sample(
-            ds, env, cam, np.uint32(warmup + s), resolution, max_bounces
+        out, counts_dev, stats = render_freerun(
+            ds,
+            env,
+            cam,
+            counts,
+            resolution,
+            np.uint32(iterations),
+            max_bounces,
+            with_stats=True,
         )
-    out.block_until_ready()
+        counts = counts_dev
+        total_rays += float(stats["closest_rays"] + stats["shadow_rays"])
+    jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
 
-    total_rays = rays_per_pixel_sample * n_pixels * timed
+    mean_spp = float(np.asarray(counts).mean()) / (timed + 1)
+    rays_per_pixel_sample = total_rays / (n_pixels * mean_spp * timed)
     mrays = total_rays / elapsed / 1e6
 
     platform = jax.devices()[0].platform

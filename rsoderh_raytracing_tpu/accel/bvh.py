@@ -229,14 +229,28 @@ def _build_python(mins: np.ndarray, maxs: np.ndarray):
         best = int(np.argmin(costs))
         left_mask = bucket <= best
         if left_mask.all() or not left_mask.any():
-            # Median-split fallback (src/bvh.rs:317-325).
+            # Median-split fallback (src/bvh.rs:317-325); stable sort so
+            # the native C++ builder produces the identical ordering.
             med = np.argsort(c, kind="stable")
             half = len(sub_ids) // 2
             left_ids = sub_ids[med[:half]]
             right_ids = sub_ids[med[half:]]
         else:
-            left_ids = sub_ids[left_mask]
-            right_ids = sub_ids[~left_mask]
+            # In-place swap partition with the reference's exact element
+            # order (src/bvh.rs:302-315): scanning from the left, a
+            # right-bucket element swaps with the last unprocessed one.
+            arr = sub_ids.copy()
+            in_left = dict(zip(sub_ids.tolist(), left_mask.tolist()))
+            split = 0
+            end = len(arr)
+            while split < end:
+                if in_left[int(arr[split])]:
+                    split += 1
+                else:
+                    end -= 1
+                    arr[split], arr[end] = arr[end], arr[split]
+            left_ids = arr[:split]
+            right_ids = arr[split:]
 
         # Interior node: reserve slot, then children depth-first.
         nodes_min.append(bmin)

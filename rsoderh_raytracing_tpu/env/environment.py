@@ -58,19 +58,62 @@ class Environment:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceEnvironment:
-    """The active environment on device. Consumed by ops/envmap.py."""
+    """The active environment on device. Consumed by ops/envmap.py.
+
+    TPU gathers are byte-bound random reads (~2 GB/s), so the sampling
+    arrays are packed to minimize gather count x width:
+    - `quad`:      (H*W, 12) neighbor-packed texels [c00 c10 c01 c11]*rgb
+                   so one gather serves a full bilinear fetch,
+    - `alias_pair`: (H*W, 2) [probability, alias_index-as-float] so the
+                   alias decision is one 8-byte gather,
+    - `pmf`:       (H*W,) separate because MIS pdf lookups need only it.
+    `texture` keeps the raw f32 image for host access and debug views.
+    """
 
     texture: Any  # (H, W, 3) f32
-    alias_probability: Any  # (H*W,) f32
-    alias_index: Any  # (H*W,) i32
+    quad: Any  # (H*W, 16) neighbor-packed: 12 radiance + 4 per-texel pmf
+    alias_pair: Any  # (H*W, 4) [probability, alias_index, pmf_self, pmf_alias]
     alias_pmf: Any  # (H*W,) f32
 
 
-def device_environment(env: Environment) -> DeviceEnvironment:
+def device_environment(env: Environment, radiance_dtype=None) -> DeviceEnvironment:
+    tex = np.asarray(env.texture, np.float32)
+    height, width = tex.shape[:2]
+    pmf = np.asarray(env.alias.pmf, np.float32).reshape(height, width)
+    xp = np.minimum(np.arange(width) + 1, width - 1)
+    yp = np.minimum(np.arange(height) + 1, height - 1)
+    # One gather row serves a full bilinear fetch AND the pmf of whichever
+    # of its four texels the MIS pdf lookup lands on.
+    quad = np.concatenate(
+        [
+            tex,
+            tex[:, xp],
+            tex[yp],
+            tex[yp][:, xp],
+            pmf[..., None],
+            pmf[:, xp][..., None],
+            pmf[yp][..., None],
+            pmf[yp][:, xp][..., None],
+        ],
+        axis=-1,
+    ).reshape(height * width, 16)
+    if radiance_dtype is not None:
+        quad = quad.astype(radiance_dtype)
+    # NEE needs pmf of the FINAL index (self or alias) — pack both so the
+    # alias decision and its pmf are one 16-byte gather.
+    alias_pair = np.stack(
+        [
+            env.alias.probability,
+            env.alias.alias_index.astype(np.float32),
+            env.alias.pmf,
+            env.alias.pmf[env.alias.alias_index],
+        ],
+        axis=-1,
+    )
     return DeviceEnvironment(
-        texture=jnp.asarray(env.texture),
-        alias_probability=jnp.asarray(env.alias.probability),
-        alias_index=jnp.asarray(env.alias.alias_index),
+        texture=jnp.asarray(tex),
+        quad=jnp.asarray(quad),
+        alias_pair=jnp.asarray(alias_pair),
         alias_pmf=jnp.asarray(env.alias.pmf),
     )
 

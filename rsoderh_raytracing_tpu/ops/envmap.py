@@ -61,7 +61,8 @@ def _uv_to_pixel_index(uv, width: int, height: int):
 def bilinear_sample(texture, uv):
     """4-tap bilinear fetch with clamp-to-edge, texel centers at +0.5.
 
-    texture: (H, W, 3); uv: (N, 2) -> (N, 3).
+    texture: (H, W, 3); uv: (N, 2) -> (N, 3). Reference formulation (four
+    separate gathers); the hot path uses `bilinear_sample_quad`.
     """
     height, width = texture.shape[0], texture.shape[1]
     x = uv[..., 0] * width - 0.5
@@ -87,9 +88,71 @@ def bilinear_sample(texture, uv):
     return top * (1.0 - fy) + bottom * fy
 
 
+def bilinear_sample_quad(env: DeviceEnvironment, uv):
+    """Bilinear fetch as ONE gather from the neighbor-packed quad array.
+
+    Identical result to `bilinear_sample` on env.texture: the packed row
+    at (y0, x0) holds [c00 c10 c01 c11]; left/top clamped taps are
+    handled by zeroing the fraction (the packed row's +1 neighbors are
+    clamped at build time for the right/bottom edges).
+    """
+    height, width = env.texture.shape[0], env.texture.shape[1]
+    x = uv[..., 0] * width - 0.5
+    y = uv[..., 1] * height - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, width - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, height - 1)
+
+    row = jnp.take(env.quad, y0i * width + x0i, axis=0).astype(jnp.float32)
+    c00 = row[..., 0:3]
+    c10 = row[..., 3:6]
+    c01 = row[..., 6:9]
+    c11 = row[..., 9:12]
+    top = c00 * (1.0 - fx) + c10 * fx
+    bottom = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bottom * fy
+
+
+def radiance_and_pmf(env: DeviceEnvironment, uv):
+    """ONE gather -> (bilinear radiance (N,3), pmf at uv's pixel (N,)).
+
+    The quad row carries the pmf of its four texels; the pixel that
+    `_uv_to_pixel_index(uv)` addresses is always one of them, selected by
+    comparing floor(u*W) with the row's x0 (same for y).
+    """
+    height, width = env.texture.shape[0], env.texture.shape[1]
+    x = uv[..., 0] * width - 0.5
+    y = uv[..., 1] * height - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, width - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, height - 1)
+
+    row = jnp.take(env.quad, y0i * width + x0i, axis=0).astype(jnp.float32)
+    top = row[..., 0:3] * (1.0 - fx) + row[..., 3:6] * fx
+    bottom = row[..., 6:9] * (1.0 - fx) + row[..., 9:12] * fx
+    radiance = top * (1.0 - fy) + bottom * fy
+
+    px = jnp.minimum((uv[..., 0] * width).astype(jnp.int32), width - 1)
+    py = jnp.minimum((uv[..., 1] * height).astype(jnp.int32), height - 1)
+    sel_x = px != x0i
+    sel_y = py != y0i
+    pmf = jnp.where(
+        sel_y,
+        jnp.where(sel_x, row[..., 15], row[..., 14]),
+        jnp.where(sel_x, row[..., 13], row[..., 12]),
+    )
+    return radiance, pmf
+
+
 def sky_light(env: DeviceEnvironment, direction):
     """Environment radiance along escaped rays (shader.wgsl:822-831)."""
-    return bilinear_sample(env.texture, direction_to_equirect_uv(direction))
+    return bilinear_sample_quad(env, direction_to_equirect_uv(direction))
 
 
 def direction_pdf(env: DeviceEnvironment, direction):
@@ -102,12 +165,14 @@ def direction_pdf(env: DeviceEnvironment, direction):
     return pmf / pixel_solid_angle(uv[..., 1], width, height)
 
 
-def sample_environment(state, env: DeviceEnvironment):
-    """Alias-table importance sample (shader.wgsl:782-820).
+def sample_alias_index(state, env: DeviceEnvironment):
+    """Alias-table index draw + jittered uv (shader.wgsl:689-706,793-803).
 
-    Returns (new_rng_state, direction (N,3), radiance (N,3), pdf (N,)).
-    RNG draw order matches the reference: index draw, alias-accept draw,
-    jitter x, jitter y.
+    Returns (state, final_index, uv, pmf) — pmf of the final index comes
+    from the packed alias row, so NEE costs this single gather. Split
+    from sample_environment so the wavefront integrator can fuse the
+    radiance fetch with the miss path. RNG draw order matches the
+    reference: index draw, alias-accept draw, jitter x, jitter y.
     """
     height, width = env.texture.shape[0], env.texture.shape[1]
     length = width * height
@@ -117,9 +182,10 @@ def sample_environment(state, env: DeviceEnvironment):
         (u_index * jnp.float32(length)).astype(jnp.int32), length - 1
     )
     state, u_accept = rng.next_uniform(state)
-    probability = jnp.take(env.alias_probability, index, axis=0)
-    alias = jnp.take(env.alias_index, index, axis=0)
-    index = jnp.where(u_accept < probability, index, alias)
+    pair = jnp.take(env.alias_pair, index, axis=0)
+    keep = u_accept < pair[..., 0]
+    index = jnp.where(keep, index, pair[..., 1].astype(jnp.int32))
+    pmf = jnp.where(keep, pair[..., 2], pair[..., 3])
 
     x = index % width
     y = index // width
@@ -132,9 +198,17 @@ def sample_environment(state, env: DeviceEnvironment):
         ],
         axis=-1,
     )
+    return state, index, uv, pmf
 
+
+def sample_environment(state, env: DeviceEnvironment):
+    """Alias-table importance sample (shader.wgsl:782-820).
+
+    Returns (new_rng_state, direction (N,3), radiance (N,3), pdf (N,)).
+    """
+    height, width = env.texture.shape[0], env.texture.shape[1]
+    state, index, uv, pmf = sample_alias_index(state, env)
     direction = equirect_uv_to_direction(uv)
-    radiance = bilinear_sample(env.texture, uv)
-    pmf = jnp.take(env.alias_pmf, index, axis=0)
+    radiance = bilinear_sample_quad(env, uv)
     pdf = pmf / pixel_solid_angle(uv[..., 1], width, height)
     return state, direction, radiance, pdf

@@ -170,8 +170,7 @@ class ShardedRenderer:
             inner.max_bounces,
         )
         # S samples at once: add the sum and bump the counter by S.
-        inner.film.cumulative = inner.film.cumulative + summed
-        inner.film.sample_count += s
+        inner.film.add_samples(summed, s)
         return inner.film.sample_count
 
     def render(self, spp: int = 16, progress: bool = False):

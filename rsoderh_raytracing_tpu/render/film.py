@@ -23,12 +23,21 @@ def _accumulate(cumulative, sample):
 
 
 @jax.jit
-def _display(cumulative, sample_count):
-    mean = cumulative / sample_count
+def _display(cumulative, counts):
+    mean = cumulative / jnp.maximum(counts, 1.0)[..., None]
     return aces_tonemap(mean)
 
 
 class Film:
+    """Per-pixel radiance sums + per-pixel sample counts.
+
+    Uniform accumulation (the reference's model) keeps all counts equal;
+    the free-run wavefront adds a VARIABLE number of samples per pixel
+    (render/wavefront.py:render_freerun), which the mean handles
+    naturally. `sample_count` reports the minimum count — the
+    convergence guarantee every pixel meets.
+    """
+
     def __init__(self, width: int, height: int):
         self.width = width
         self.height = height
@@ -36,30 +45,61 @@ class Film:
 
     def reset(self) -> None:
         self.cumulative = jnp.zeros((self.height, self.width, 3), jnp.float32)
-        self.sample_count = 0
+        self.counts = jnp.zeros((self.height, self.width), jnp.uint32)
+        self._uniform_count: int | None = 0
 
     def resize(self, width: int, height: int) -> None:
         self.width = width
         self.height = height
         self.reset()
 
+    @property
+    def sample_count(self) -> int:
+        if self._uniform_count is not None:
+            return self._uniform_count
+        return int(jnp.min(self.counts))
+
+    @sample_count.setter
+    def sample_count(self, value: int) -> None:
+        """Uniform-count assignment (used by sharded/batch steppers)."""
+        delta = int(value) - self.sample_count
+        self.counts = self.counts + jnp.uint32(max(0, delta))
+        if self._uniform_count is not None:
+            self._uniform_count = int(value)
+
     def add_sample(self, sample) -> None:
+        """Add ONE uniform sample for every pixel."""
         self.cumulative = _accumulate(self.cumulative, sample)
-        self.sample_count += 1
+        self.counts = self.counts + jnp.uint32(1)
+        if self._uniform_count is not None:
+            self._uniform_count += 1
+
+    def add_samples(self, summed, count: int) -> None:
+        """Add the SUM of `count` uniform samples per pixel."""
+        self.cumulative = _accumulate(self.cumulative, summed)
+        self.counts = self.counts + jnp.uint32(count)
+        if self._uniform_count is not None:
+            self._uniform_count += count
+
+    def add_freerun(self, summed, counts) -> None:
+        """Add a free-run result: per-pixel sums + per-pixel counts."""
+        self.cumulative = _accumulate(self.cumulative, summed)
+        self.counts = self.counts + counts.astype(jnp.uint32)
+        self._uniform_count = None
 
     def mean_radiance(self) -> np.ndarray:
-        n = max(1, self.sample_count)
-        return np.asarray(self.cumulative / n)
+        counts = jnp.maximum(self.counts, 1.0)[..., None]
+        return np.asarray(self.cumulative / counts)
 
     def tonemapped(self) -> np.ndarray:
         """ACES display image, linear [0,1]."""
-        n = max(1, self.sample_count)
-        return np.asarray(_display(self.cumulative, jnp.float32(n)))
+        return np.asarray(
+            _display(self.cumulative, self.counts.astype(jnp.float32))
+        )
 
     def srgb8(self) -> np.ndarray:
         """8-bit sRGB image for PNG output."""
-        n = max(1, self.sample_count)
-        linear = _display(self.cumulative, jnp.float32(n))
+        linear = _display(self.cumulative, self.counts.astype(jnp.float32))
         srgb = linear_to_srgb(linear)
         return np.asarray(
             jnp.clip(srgb * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
@@ -71,6 +111,7 @@ class Film:
         np.savez(
             path,
             cumulative=np.asarray(self.cumulative),
+            counts=np.asarray(self.counts),
             sample_count=self.sample_count,
         )
 
@@ -83,4 +124,15 @@ class Film:
                     f" ({self.height}, {self.width}, 3)"
                 )
             self.cumulative = jnp.asarray(cumulative)
-            self.sample_count = int(z["sample_count"])
+            if "counts" in z.files:
+                self.counts = jnp.asarray(z["counts"].astype(np.uint32))
+                uniform = np.unique(z["counts"]).size == 1
+                self._uniform_count = (
+                    int(z["sample_count"]) if uniform else None
+                )
+            else:  # legacy scalar-count checkpoints
+                count = int(z["sample_count"])
+                self.counts = jnp.full(
+                    (self.height, self.width), count, jnp.uint32
+                )
+                self._uniform_count = count

@@ -101,17 +101,78 @@ class Renderer:
         self.film.add_sample(sample)
         return self.film.sample_count
 
-    def render(self, spp: int = 16, progress: bool = False) -> np.ndarray:
+    def step_batch(self, spp: int) -> int:
+        """Render `spp` progressive samples in ONE device dispatch via the
+        ray-regeneration wavefront (render/wavefront.py). Produces exactly
+        the same accumulation as `spp` sequential step() calls."""
+        from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+
+        state_hash = self._state_hash()
+        if state_hash != self._last_state_hash:
+            self.film.reset()
+            self._last_state_hash = state_hash
+
+        summed = render_wavefront(
+            self.device_scene,
+            self._device_env(),
+            camera_pytree(self.camera),
+            np.uint32(self.film.sample_count),
+            (self.width, self.height),
+            np.uint32(spp),
+            self.max_bounces,
+        )
+        self.film.add_samples(summed, spp)
+        return self.film.sample_count
+
+    def step_freerun(self, iterations: int) -> int:
+        """Run the iteration-budget wavefront: every lane stays busy for
+        `iterations` path segments, yielding a variable per-pixel sample
+        count (best throughput; see render/wavefront.py:render_freerun).
+        Returns the minimum per-pixel sample count."""
+        from rsoderh_raytracing_tpu.render.wavefront import render_freerun
+
+        state_hash = self._state_hash()
+        if state_hash != self._last_state_hash:
+            self.film.reset()
+            self._last_state_hash = state_hash
+
+        summed, counts = render_freerun(
+            self.device_scene,
+            self._device_env(),
+            camera_pytree(self.camera),
+            np.asarray(self.film.counts),
+            (self.width, self.height),
+            np.uint32(iterations),
+            self.max_bounces,
+        )
+        self.film.add_freerun(summed, counts)
+        return self.film.sample_count
+
+    def render(
+        self,
+        spp: int = 16,
+        progress: bool = False,
+        batch: int | None = None,
+    ) -> np.ndarray:
         """Render `spp` samples and return the tonemapped image (H,W,3)
-        in linear [0,1]."""
+        in linear [0,1]. Samples run in wavefront batches (default: all
+        at once; pass batch=1 to force the per-sample scan path)."""
         start = time.perf_counter()
-        for i in range(spp):
-            self.step()
-            if progress and (i + 1) % max(1, spp // 10) == 0:
+        if batch is None:
+            batch = spp
+        done = 0
+        while done < spp:
+            n = min(batch, spp - done)
+            if n == 1 and batch == 1:
+                self.step()
+            else:
+                self.step_batch(n)
+            done += n
+            if progress:
                 elapsed = time.perf_counter() - start
                 print(
-                    f"  sample {i + 1}/{spp}"
-                    f"  ({(i + 1) / max(elapsed, 1e-9):.2f} spp/s)"
+                    f"  sample {done}/{spp}"
+                    f"  ({done / max(elapsed, 1e-9):.2f} spp/s)"
                 )
         return self.film.tonemapped()
 

@@ -1,0 +1,170 @@
+"""Interactive terminal viewer.
+
+The reference opens a winit window with a fly camera (src/app.rs); a TPU
+host is headless, so the interactive surface here is the terminal:
+the progressive render is drawn with ANSI 24-bit half-block characters
+(two pixels per character cell) and the keyboard drives the same
+controller contract (src/camera.rs:184-364):
+
+- movement keys (default wasdqe) accelerate/decelerate the fly camera
+- 'p' prints the base64 camera state (usable with --state, including in
+  the reference renderer)
+- 'e' cycles the environment map
+- digits set dev_index (1 = normal, 3 = raw HDRI view)
+- moving resets progressive accumulation; holding still converges
+- 'q'/Ctrl-C exits
+
+Terminal input is per-keypress (cbreak); without key-release events,
+movement keys apply an impulse for a short hold window.
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+import time
+
+import numpy as np
+
+
+def _supports_tty() -> bool:
+    return sys.stdin.isatty() and sys.stdout.isatty()
+
+
+def _render_ansi(image: np.ndarray, max_cols: int, max_rows: int) -> str:
+    """(H,W,3) float [0,1] -> ANSI half-block string."""
+    from rsoderh_raytracing_tpu.ops.tonemap import linear_to_srgb
+
+    img = np.asarray(linear_to_srgb(image))
+    img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    height, width = img8.shape[:2]
+    # Fit into the terminal: each char cell = 1 wide x 2 tall pixels.
+    step = max(1, (width + max_cols - 1) // max_cols, ((height // 2) + max_rows - 1) // max_rows)
+    img8 = img8[:: step * 2 if step > 1 else 2]  # top rows
+    lines = []
+    sub = (np.clip(img, 0, 1) * 255).astype(np.uint8)[::step]
+    for row in range(0, sub.shape[0] - 1, 2):
+        top = sub[row][::step]
+        bottom = sub[row + 1][::step]
+        parts = []
+        for (tr, tg, tb), (br, bg, bb) in zip(top, bottom):
+            parts.append(
+                f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀"
+            )
+        lines.append("".join(parts) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+def run_viewer(
+    scene,
+    layout,
+    width: int = 256,
+    height: int = 144,
+    environments=None,
+    max_bounces: int = 10,
+    max_fps: float = 30.0,
+) -> int:
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+    from rsoderh_raytracing_tpu.scene.camera import CameraController
+
+    if not _supports_tty():
+        print(
+            "viewer: stdin/stdout is not a TTY; use headless rendering"
+            " instead (drop --view).",
+            file=sys.stderr,
+        )
+        return 2
+
+    import termios
+    import tty
+
+    renderer = Renderer(
+        scene,
+        width=width,
+        height=height,
+        environments=environments,
+        max_bounces=max_bounces,
+    )
+    controller = CameraController()
+    key_to_action = {
+        layout.forward: "forward",
+        layout.left: "left",
+        layout.back: "back",
+        layout.right: "right",
+        layout.down: "down",
+        layout.up: "up",
+    }
+    # Impulse window: terminal has no key-release events, so a pressed
+    # movement key stays "held" this long.
+    hold = {name: 0.0 for name in key_to_action.values()}
+    HOLD_SECS = 0.25
+
+    fd = sys.stdin.fileno()
+    old_attrs = termios.tcgetattr(fd)
+    dev_index = 1
+    try:
+        tty.setcbreak(fd)
+        sys.stdout.write("\x1b[2J")  # clear
+        last = time.monotonic()
+        while True:
+            # Drain pending keys.
+            while select.select([sys.stdin], [], [], 0)[0]:
+                ch = sys.stdin.read(1).lower()
+                if ch == "q" or ch == "\x03":
+                    return 0
+                if ch in key_to_action:
+                    hold[key_to_action[ch]] = HOLD_SECS
+                elif ch == layout.print_camera_state:
+                    sys.stdout.write("\x1b[2J\x1b[H")
+                    print(renderer.camera)
+                    print(
+                        "state: (for use with --state)\n "
+                        f" {renderer.camera.serialize()}"
+                    )
+                    print("press any key to continue...")
+                    sys.stdin.read(1)
+                elif ch == layout.next_environment:
+                    renderer.next_environment()
+                elif ch.isdigit():
+                    dev_index = int(ch)
+
+            now = time.monotonic()
+            dt = min(now - last, 0.1)
+            last = now
+            for name in hold:
+                hold[name] = max(0.0, hold[name] - dt)
+                controller.set_key(name, hold[name] > 0.0)
+            renderer.camera = controller.update(renderer.camera, dt)
+
+            if dev_index == 3:
+                env = renderer.environments[renderer.environment_index]
+                img = np.clip(
+                    env.texture[:: max(1, env.height // height)][
+                        :, :: max(1, env.width // width)
+                    ],
+                    0,
+                    1,
+                )
+                count = 0
+            else:
+                count = renderer.step()
+                img = renderer.film.tonemapped()
+
+            cols, rows = os.get_terminal_size()
+            frame = _render_ansi(img, cols, rows - 2)
+            sys.stdout.write("\x1b[H" + frame)
+            sys.stdout.write(
+                f"\x1b[0m\n{renderer.width}x{renderer.height} "
+                f"spp={count} env={renderer.environment_index} "
+                f"dev={dev_index} [q quit, p state, e env]\x1b[K"
+            )
+            sys.stdout.flush()
+
+            budget = 1.0 / max_fps - (time.monotonic() - now)
+            if budget > 0:
+                time.sleep(budget)
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old_attrs)
+        sys.stdout.write("\x1b[0m\n")
+    return 0

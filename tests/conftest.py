@@ -46,7 +46,9 @@ def tiny_env():
     )
     from rsoderh_raytracing_tpu.env.hdr_io import procedural_sky
 
-    tex = procedural_sky(64, 32, sun_intensity=50.0)
+    # Sun radius must be a few texels wide at 64x32 or the disk falls
+    # between texel centers and the map has no bright pixels at all.
+    tex = procedural_sky(64, 32, sun_intensity=50.0, sun_radius=0.15)
     return device_environment(Environment.from_texture("tiny", tex))
 
 

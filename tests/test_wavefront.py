@@ -1,0 +1,109 @@
+"""Wavefront (ray-regeneration) integrator: exact parity with the scan
+integrator, since both consume identical per-(pixel,sample) RNG streams
+and identical fetch arithmetic."""
+
+import numpy as np
+import pytest
+
+from rsoderh_raytracing_tpu.render.integrator import camera_pytree, render_sample
+from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+from rsoderh_raytracing_tpu.scene.camera import Camera
+from rsoderh_raytracing_tpu.scene.device import build_device_scene
+from rsoderh_raytracing_tpu.scene.types import (
+    Material,
+    PackedMeshes,
+    Plane,
+    Scene,
+    Sphere,
+)
+
+
+@pytest.fixture(scope="module")
+def test_scene():
+    return Scene(
+        materials=[
+            Material((0.8, 0.7, 0.6), 0.6, 0.0, (0, 0, 0)),
+            Material((0.9, 0.9, 0.9), 0.1, 1.0, (0, 0, 0)),
+            Material((1, 1, 1), 1.0, 0.0, (3, 1, 0.5)),
+        ],
+        spheres=[
+            Sphere(pos=[0, 1, -3], radius=1.0, material_id=0),
+            Sphere(pos=[2, 1, -4], radius=0.8, material_id=1),
+            Sphere(pos=[-2, 0.5, -2], radius=0.5, material_id=2),
+        ],
+        planes=[
+            Plane(
+                pos=[-10, 0, -10],
+                forward=[0, 0, 20],
+                right=[20, 0, 0],
+                material_id=0,
+            )
+        ],
+        meshes=PackedMeshes.empty(),
+        camera=Camera(pos=[0, 1, 1], yaw=0, pitch=-0.1, fov_y=np.radians(80)),
+    )
+
+
+def test_wavefront_matches_scan_sum(test_scene, tiny_env):
+    ds = build_device_scene(test_scene)
+    cam = camera_pytree(test_scene.camera)
+    res = (24, 16)
+    spp = 5
+
+    wf = np.asarray(
+        render_wavefront(ds, tiny_env, cam, np.uint32(0), res, spp, 6)
+    )
+    seq = np.zeros_like(wf)
+    for s in range(spp):
+        seq += np.asarray(
+            render_sample(ds, tiny_env, cam, np.uint32(s), res, 6)
+        )
+    np.testing.assert_allclose(wf, seq, rtol=2e-5, atol=2e-5)
+
+
+def test_wavefront_base_sample_offset(test_scene, tiny_env):
+    """base_sample shifts which samples are rendered."""
+    ds = build_device_scene(test_scene)
+    cam = camera_pytree(test_scene.camera)
+    res = (8, 8)
+    a = np.asarray(render_wavefront(ds, tiny_env, cam, np.uint32(3), res, 2, 4))
+    b = np.asarray(render_sample(ds, tiny_env, cam, np.uint32(3), res, 4))
+    c = np.asarray(render_sample(ds, tiny_env, cam, np.uint32(4), res, 4))
+    np.testing.assert_allclose(a, b + c, rtol=2e-5, atol=2e-5)
+
+
+def test_wavefront_stats(test_scene, tiny_env):
+    ds = build_device_scene(test_scene)
+    cam = camera_pytree(test_scene.camera)
+    img, stats = render_wavefront(
+        ds, tiny_env, cam, np.uint32(0), (8, 8), 4, 6, with_stats=True
+    )
+    closest = float(stats["closest_rays"])
+    shadow = float(stats["shadow_rays"])
+    assert closest >= 8 * 8 * 4  # at least one segment per path
+    assert 0 < shadow <= closest
+
+
+def test_renderer_step_batch_equals_steps(test_scene):
+    from rsoderh_raytracing_tpu.env.environment import (
+        Environment,
+        EnvironmentMaps,
+    )
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+
+    tex = np.ones((8, 16, 3), dtype=np.float32) * 0.7
+    envs = EnvironmentMaps([Environment.from_texture("u", tex)])
+
+    a = Renderer(test_scene, width=12, height=8, environments=envs)
+    for _ in range(4):
+        a.step()
+    b = Renderer(test_scene, width=12, height=8, environments=envs)
+    b.step_batch(4)
+
+    assert a.film.sample_count == b.film.sample_count == 4
+    np.testing.assert_allclose(
+        np.asarray(a.film.cumulative),
+        np.asarray(b.film.cumulative),
+        rtol=2e-5,
+        atol=2e-5,
+    )
