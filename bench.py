@@ -66,24 +66,29 @@ def main() -> int:
     # Every traced ray lands in the film (free-run keeps all lanes busy,
     # with per-pixel sample counts), so throughput is measured directly
     # from the kernel's own ray counters.
+    # Array-typed base counts from the start so the timed calls reuse the
+    # same compiled executable (a scalar base would be a separate shape).
     warmup_img, warmup_counts, _ = render_freerun(
         ds,
         env,
         cam,
-        np.uint32(0),
+        np.zeros((size, size), np.uint32),
         resolution,
         np.uint32(iterations),
         max_bounces,
         with_stats=True,
     )
     jax.block_until_ready(warmup_img)
-    counts = np.asarray(warmup_counts)
+    counts = np.asarray(warmup_counts).astype(np.uint32)
 
     timed = int(os.environ.get("BENCH_STEPS", "3"))
     total_rays = 0.0
+    total_spp = 0.0
     start = time.perf_counter()
     out = None
     for s in range(timed):
+        # counts holds the PREVIOUS call's per-pixel sample tally; feeding
+        # it back as base keeps every pixel's RNG stream advancing.
         out, counts_dev, stats = render_freerun(
             ds,
             env,
@@ -94,13 +99,13 @@ def main() -> int:
             max_bounces,
             with_stats=True,
         )
-        counts = counts_dev
+        counts = counts + np.asarray(counts_dev).astype(np.uint32)
         total_rays += float(stats["closest_rays"] + stats["shadow_rays"])
+        total_spp += float(np.asarray(counts_dev).mean())
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
 
-    mean_spp = float(np.asarray(counts).mean()) / (timed + 1)
-    rays_per_pixel_sample = total_rays / (n_pixels * mean_spp * timed)
+    rays_per_pixel_sample = total_rays / (n_pixels * max(total_spp, 1e-9))
     mrays = total_rays / elapsed / 1e6
 
     platform = jax.devices()[0].platform

@@ -1,0 +1,27 @@
+# Dev commands (the reference ships a justfile; same idea).
+
+# Render the default scene headless.
+run scene="assets/scenes/default.toml":
+    python -m rsoderh_raytracing_tpu.cli --scene {{scene}} \
+        --resolution 512x512 --spp 64 --output render.png
+
+# Interactive terminal viewer (wasdqe + cpe keys, like the reference).
+view scene="assets/scenes/default.toml":
+    python -m rsoderh_raytracing_tpu.cli --scene {{scene}} --view
+
+# Workman-layout variant (reference justfile parity).
+view-workman scene="assets/scenes/default.toml":
+    python -m rsoderh_raytracing_tpu.cli --scene {{scene}} --view \
+        --movement-keys yahomn
+
+# Tests on CPU with 8 fake devices.
+test:
+    python -m pytest tests/ -x -q
+
+# Throughput benchmark (TPU).
+bench:
+    python bench.py
+
+# Compile-check the driver entry points.
+graft-check:
+    python __graft_entry__.py

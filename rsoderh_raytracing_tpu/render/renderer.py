@@ -178,3 +178,30 @@ class Renderer:
 
     def save_png(self, path: str) -> None:
         write_png(path, self.film.srgb8())
+
+    # -- dev debug views (reference shader.wgsl:1314-1338) ------------------
+
+    def debug_alias_scatter(self, draws_per_pixel: int = 20) -> np.ndarray:
+        """dev_index == 2: scatter-plot the alias-table distribution —
+        draw from the active environment's alias table and build a
+        brightness histogram over the env image (each draw adds 0.1/n,
+        like the reference's additive texture stores)."""
+        env = self.environments[self.environment_index]
+        length = env.width * env.height
+        n = self.width * self.height * draws_per_pixel
+        rng_np = np.random.default_rng(0)
+        u1 = rng_np.random(n)
+        u2 = rng_np.random(n)
+        idx = np.minimum((u1 * length).astype(np.int64), length - 1)
+        accept = u2 < env.alias.probability[idx]
+        final = np.where(accept, idx, env.alias.alias_index[idx])
+        hist = np.bincount(final, minlength=length).astype(np.float32)
+        img = (hist * (0.1 / draws_per_pixel)).reshape(
+            env.height, env.width
+        )
+        return np.clip(img[..., None].repeat(3, axis=-1), 0.0, 1.0)
+
+    def debug_hdri_view(self) -> np.ndarray:
+        """dev_index == 3: the active environment's raw HDRI, clamped."""
+        env = self.environments[self.environment_index]
+        return np.clip(env.texture, 0.0, 1.0)

@@ -137,15 +137,11 @@ def run_viewer(
                 controller.set_key(name, hold[name] > 0.0)
             renderer.camera = controller.update(renderer.camera, dt)
 
-            if dev_index == 3:
-                env = renderer.environments[renderer.environment_index]
-                img = np.clip(
-                    env.texture[:: max(1, env.height // height)][
-                        :, :: max(1, env.width // width)
-                    ],
-                    0,
-                    1,
-                )
+            if dev_index == 2:
+                img = renderer.debug_alias_scatter()
+                count = 0
+            elif dev_index == 3:
+                img = renderer.debug_hdri_view()
                 count = 0
             else:
                 count = renderer.step()
