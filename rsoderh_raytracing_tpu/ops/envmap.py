@@ -157,11 +157,14 @@ def sky_light(env: DeviceEnvironment, direction):
 
 def direction_pdf(env: DeviceEnvironment, direction):
     """PDF (per steradian) of sampling `direction` from the alias table.
-    (shader.wgsl:753-769)"""
+    (shader.wgsl:753-769)
+
+    Reads the pmf from the quad's packed pmf columns (same storage the
+    wavefront's fused fetch uses) so both integrators compute identical
+    MIS weights regardless of the quad dtype."""
     height, width = env.texture.shape[0], env.texture.shape[1]
     uv = direction_to_equirect_uv(direction)
-    index = _uv_to_pixel_index(uv, width, height)
-    pmf = jnp.take(env.alias_pmf, index, axis=0)
+    _, pmf = radiance_and_pmf(env, uv)
     return pmf / pixel_solid_angle(uv[..., 1], width, height)
 
 

@@ -3,12 +3,19 @@
 This is the TPU-native replacement for the reference's per-thread
 ``cast_ray`` (shader.wgsl:566-601): instead of one ray walking a BVH with
 a divergent 64-deep stack, a batch of N rays tests all padded primitives
-as dense (N, P) blocks and reduces with argmin. For the reference's own
-scenes (tens to ~1k primitives) this is faster on TPU than any divergent
-traversal — it is pure regular VPU work with no gathers in the hot loop.
+as dense sweeps and reduces to the closest winner. For the reference's
+own scenes (tens to ~1k primitives) this is faster on TPU than any
+divergent traversal — regular VPU work with no gathers in the hot loop.
 
-Larger scenes route through ops/pallas_intersect.py (tiled Pallas kernel)
-or ops/bvh_traverse.py (BVH-guided, parity semantics).
+Two sweep backends produce identical (t, type, index) results:
+- ops/pallas_intersect.py — unrolled Pallas kernel (default on TPU for
+  small primitive counts; hard kernel boundary, no (N,P) intermediates),
+- ops/geometry.py::*_fast — XLA broadcast formulation (CPU, big scenes).
+Winner attributes (normals, materials) are reconstructed afterwards from
+(type, index) with cheap small-table gathers.
+
+Larger scenes can also route through ops/bvh_traverse.py (BVH-guided,
+parity semantics with the reference's traversal).
 
 Semantics notes vs the reference:
 - `closest_hit` is mathematically what cast_ray computes (BVH walk plus
@@ -25,6 +32,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from rsoderh_raytracing_tpu.ops import geometry as geo
+from rsoderh_raytracing_tpu.ops import pallas_intersect
 from rsoderh_raytracing_tpu.ops.geometry import INF, HitRecord
 from rsoderh_raytracing_tpu.scene.device import DeviceScene
 
@@ -33,70 +41,92 @@ def _take(arr, idx):
     return jnp.take(arr, idx, axis=0)
 
 
-def closest_hit(scene: DeviceScene, ro, rd) -> HitRecord:
-    """Closest intersection along each ray. ro, rd: (N,3)."""
+def _sweep_xla(scene: DeviceScene, ro, rd):
+    """(t, type, index) closest winner via the XLA broadcast sweep."""
     t_sph = geo.sphere_distances_fast(ro, rd, scene)
     t_pln = geo.plane_distances_fast(ro, rd, scene)
     t_tri = geo.triangle_distances_fast(ro, rd, scene)
 
-    # Per-type winners (N,)
-    i_sph = jnp.argmin(t_sph, axis=1)
+    i_sph = jnp.argmin(t_sph, axis=1).astype(jnp.int32)
     d_sph = jnp.min(t_sph, axis=1)
-    i_pln = jnp.argmin(t_pln, axis=1)
+    i_pln = jnp.argmin(t_pln, axis=1).astype(jnp.int32)
     d_pln = jnp.min(t_pln, axis=1)
-    i_tri = jnp.argmin(t_tri, axis=1)
+    i_tri = jnp.argmin(t_tri, axis=1).astype(jnp.int32)
     d_tri = jnp.min(t_tri, axis=1)
 
-    # Attributes for each type's winner, computed per ray (gather by index).
-    # Sphere
-    sph_center = _take(scene.sph_pos, i_sph)
-    sph_radius = _take(scene.sph_radius, i_sph)
-    sph_point = ro + rd * d_sph[:, None]
-    sph_normal = geo.sphere_normal(ro, sph_point, sph_center, sph_radius)
-    sph_mat = _take(scene.sph_material, i_sph)
-    # Plane
-    pln_point = ro + rd * d_pln[:, None]
-    pln_normal = geo.plane_normal_for_ray(ro, _take(scene.pln_normal, i_pln))
-    pln_mat = _take(scene.pln_material, i_pln)
-    # Triangle
-    tri_point = ro + rd * d_tri[:, None]
+    dists = jnp.stack([d_sph, d_pln, d_tri], axis=1)
+    which = jnp.argmin(dists, axis=1).astype(jnp.int32)
+    t = jnp.min(dists, axis=1)
+    ptype = jnp.where(t < INF, which, -1)
+    pidx = jnp.where(
+        which == 0, i_sph, jnp.where(which == 1, i_pln, i_tri)
+    )
+    return t, ptype, pidx
+
+
+def _sweep(scene: DeviceScene, ro, rd):
+    if pallas_intersect.sweep_supported(scene):
+        return pallas_intersect.closest_sweep(scene, ro, rd)
+    return _sweep_xla(scene, ro, rd)
+
+
+def _hit_attributes(scene: DeviceScene, ro, rd, t, ptype, pidx) -> HitRecord:
+    """Reconstruct point/normal/material for the winning primitive."""
+    did_hit = ptype >= 0
+    t_safe = jnp.where(did_hit, t, 0.0)
+    point = ro + rd * t_safe[:, None]
+
+    idx_s = jnp.where(ptype == 0, pidx, 0)
+    idx_p = jnp.where(ptype == 1, pidx, 0)
+    idx_t = jnp.where(ptype == 2, pidx, 0)
+
+    sph_normal = geo.sphere_normal(
+        ro, point, _take(scene.sph_pos, idx_s), _take(scene.sph_radius, idx_s)
+    )
+    pln_normal = geo.plane_normal_for_ray(ro, _take(scene.pln_normal, idx_p))
     tri_normal = geo.triangle_hit_attributes(
         ro,
         rd,
-        _take(scene.tri_a, i_tri),
-        _take(scene.tri_edge0, i_tri),
-        _take(scene.tri_edge1, i_tri),
-        _take(scene.tri_n0, i_tri),
-        _take(scene.tri_n1, i_tri),
-        _take(scene.tri_n2, i_tri),
+        _take(scene.tri_a, idx_t),
+        _take(scene.tri_edge0, idx_t),
+        _take(scene.tri_edge1, idx_t),
+        _take(scene.tri_n0, idx_t),
+        _take(scene.tri_n1, idx_t),
+        _take(scene.tri_n2, idx_t),
     )
-    tri_mat = _take(scene.tri_material, i_tri)
-
-    # Pick the closest of the three candidates.
-    dists = jnp.stack([d_sph, d_pln, d_tri], axis=1)  # (N,3)
-    which = jnp.argmin(dists, axis=1)  # (N,)
-    distance = jnp.min(dists, axis=1)
-    did_hit = distance < INF
-
-    def pick(s, p, t):
-        out = jnp.where((which == 1)[..., None] if s.ndim == 2 else which == 1, p, s)
-        return jnp.where((which == 2)[..., None] if s.ndim == 2 else which == 2, t, out)
-
-    point = pick(sph_point, pln_point, tri_point)
-    normal = pick(sph_normal, pln_normal, tri_normal)
-    material_id = pick(sph_mat, pln_mat, tri_mat)
-
+    normal = jnp.where(
+        (ptype == 0)[:, None],
+        sph_normal,
+        jnp.where((ptype == 1)[:, None], pln_normal, tri_normal),
+    )
+    material_id = jnp.where(
+        ptype == 0,
+        _take(scene.sph_material, idx_s),
+        jnp.where(
+            ptype == 1,
+            _take(scene.pln_material, idx_p),
+            _take(scene.tri_material, idx_t),
+        ),
+    )
     return HitRecord(
         did_hit=did_hit,
-        distance=jnp.where(did_hit, distance, 0.0),
+        distance=t_safe,
         point=point,
         normal=normal,
         material_id=material_id,
     )
 
 
+def closest_hit(scene: DeviceScene, ro, rd) -> HitRecord:
+    """Closest intersection along each ray. ro, rd: (N,3)."""
+    t, ptype, pidx = _sweep(scene, ro, rd)
+    return _hit_attributes(scene, ro, rd, t, ptype, pidx)
+
+
 def any_hit(scene: DeviceScene, ro, rd):
     """True where any primitive blocks the ray. ro, rd: (N,3) -> (N,) bool."""
+    if pallas_intersect.sweep_supported(scene):
+        return pallas_intersect.any_sweep(scene, ro, rd)
     t_sph = geo.sphere_distances_fast(ro, rd, scene)
     t_pln = geo.plane_distances_fast(ro, rd, scene)
     t_tri = geo.triangle_distances_fast(ro, rd, scene)
