@@ -84,9 +84,7 @@ def rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
     scale = np.where(exp == 0, 0.0, np.ldexp(1.0, exp - 128 - 8)).astype(
         np.float32
     )
-    return (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None] * np.where(
-        exp[..., None] == 0, 0.0, 1.0
-    ).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
 
 
 def float_to_rgbe(rgb: np.ndarray) -> np.ndarray:
@@ -101,7 +99,9 @@ def float_to_rgbe(rgb: np.ndarray) -> np.ndarray:
     scale = np.zeros_like(max_c)
     scale[nz] = mant_nz * 256.0 / max_c[nz]
     rgbe = np.zeros(rgb.shape[:-1] + (4,), dtype=np.uint8)
-    rgbe[..., :3] = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., :3] = np.clip(rgb * scale[..., None] + 0.5, 0, 255).astype(
+        np.uint8
+    )
     rgbe[..., 3] = np.where(nz, exp + 128, 0).astype(np.uint8)
     return rgbe
 

@@ -116,6 +116,126 @@ def render_spp_sharded(
     return fn(scene, env, camera, jnp.uint32(base_sample), x, y)
 
 
+@partial(
+    jax.jit, static_argnames=("mesh", "resolution", "max_bounces")
+)
+def render_freerun_sharded(
+    scene,
+    env,
+    camera,
+    base_counts,
+    mesh: Mesh,
+    resolution,
+    iterations,
+    max_bounces: int = MAX_BOUNCES,
+):
+    """Free-run wavefront across the mesh.
+
+    Pixel rows shard over `tile`; the `sample` axis splits each pixel's
+    progressive sample STREAM by striding: device s of S works samples
+    s, s+S, s+2S, ... — disjoint deterministic streams with no
+    coordination, exactly the sample-parallel analog of the reference's
+    one-spp-per-frame accumulation. Returns (summed (H,W,3),
+    counts (H,W)) where counts = total samples completed across the
+    sample axis (device sums ride one psum over ICI).
+
+    base_counts: (H, W) TOTAL per-pixel samples completed so far (the
+    film's counts); per-device stream offsets are derived as
+    ceil-division of the stride.
+    """
+    from rsoderh_raytracing_tpu.render.wavefront import render_freerun
+
+    width, height = resolution
+    tile_n = mesh.shape["tile"]
+    if height % tile_n != 0:
+        raise ValueError(f"height {height} not divisible by tile={tile_n}")
+    rows = height // tile_n
+
+    def shard_fn(scene, env, camera, base_counts):
+        s_idx = jax.lax.axis_index("sample").astype(jnp.uint32)
+        s_n = jnp.uint32(mesh.shape["sample"])
+        t_idx = jax.lax.axis_index("tile").astype(jnp.int32)
+
+        # This device's position in each pixel's sample stream: it owns
+        # global sample indices k*s_n + s_idx; given `base` total samples
+        # done, its next local index is ceil((base - s_idx) / s_n).
+        base = base_counts.reshape(-1)
+        local_base = (base + s_n - jnp.uint32(1) - s_idx) // s_n
+
+        img, local_counts = _freerun_rows(
+            scene,
+            env,
+            camera,
+            local_base,
+            s_idx,
+            s_n,
+            t_idx,
+            (width, height),
+            rows,
+            iterations,
+            max_bounces,
+        )
+        img = jax.lax.psum(img, axis_name="sample")
+        counts = jax.lax.psum(local_counts, axis_name="sample")
+        return img, counts
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("tile", None)),
+        out_specs=(P("tile", None, None), P("tile", None)),
+        check_vma=False,
+    )
+    return fn(scene, env, camera, base_counts)
+
+
+def _freerun_rows(
+    scene,
+    env,
+    camera,
+    local_base,
+    sample_stride_offset,
+    sample_stride,
+    tile_index,
+    resolution,
+    rows,
+    iterations,
+    max_bounces,
+):
+    """Free-run over this device's row block with strided sample indices.
+
+    Wraps render/wavefront.py's loop via its seeding hook: global sample
+    index = local_index * stride + offset.
+    """
+    from rsoderh_raytracing_tpu.render import wavefront as wf
+
+    width, height = resolution
+    n = rows * width
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pixel_x = (lane % width).astype(jnp.int32)
+    pixel_y = (lane // width).astype(jnp.int32) + tile_index * rows
+    pixel_index = (
+        pixel_y.astype(jnp.uint32) * jnp.uint32(width)
+        + pixel_x.astype(jnp.uint32)
+    )
+
+    img, counts, _ = wf.wavefront_loop_custom(
+        scene,
+        env,
+        camera,
+        pixel_index,
+        pixel_x,
+        pixel_y,
+        (width, height),
+        local_base,
+        lambda local: local * sample_stride + sample_stride_offset,
+        jnp.uint32(0xFFFFFFFF),
+        iterations,
+        max_bounces,
+    )
+    return img.reshape(rows, width, 3), counts.reshape(rows, width)
+
+
 class ShardedRenderer:
     """Wraps a Renderer to execute steps across a device mesh.
 

@@ -146,20 +146,62 @@ def _wavefront_loop(
 ):
     width, height = resolution
     n = width * height
-    height_idx = jnp.arange(n, dtype=jnp.uint32)
-    pixel_x = (height_idx % width).astype(jnp.int32)
-    pixel_y = (height_idx // width).astype(jnp.int32)
-    pixel_index = height_idx
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pixel_x = (lane % width).astype(jnp.int32)
+    pixel_y = (lane // width).astype(jnp.int32)
     base_sample = jnp.broadcast_to(
         jnp.asarray(base_sample, jnp.uint32).reshape(-1), (n,)
     )
+    img, counts, stats = wavefront_loop_custom(
+        scene,
+        env,
+        camera,
+        lane,
+        pixel_x,
+        pixel_y,
+        resolution,
+        base_sample,
+        lambda local: local,
+        spp,
+        iteration_budget,
+        max_bounces,
+    )
+    return img.reshape(height, width, 3), counts.reshape(height, width), stats
+
+
+def wavefront_loop_custom(
+    scene: DeviceScene,
+    env: DeviceEnvironment,
+    camera,
+    pixel_index,
+    pixel_x,
+    pixel_y,
+    resolution,
+    base_sample,
+    sample_map,
+    spp,
+    iteration_budget,
+    max_bounces: int = MAX_BOUNCES,
+):
+    """Core regeneration loop over an explicit lane set.
+
+    pixel_index/pixel_x/pixel_y: (n,) lane -> pixel mapping (lanes may
+    cover a row block of a sharded image; pixel_index seeds the RNG with
+    GLOBAL pixel ids so sharded renders equal unsharded ones).
+    base_sample: (n,) per-lane starting LOCAL sample index.
+    sample_map: local index -> global progressive sample index (identity
+    for single-device; `local * stride + offset` for sample-sharding).
+    Returns flat (film (n,3), counts (n,), stats).
+    """
+    width, height = resolution
+    n = pixel_index.shape[0]
     spp = jnp.asarray(spp, jnp.uint32)
     iteration_budget = jnp.asarray(iteration_budget, jnp.uint32)
 
     env_h, env_w = env.texture.shape[0], env.texture.shape[1]
 
     def start_path(sample_idx):
-        state = rng.seed(pixel_index, base_sample + sample_idx)
+        state = rng.seed(pixel_index, sample_map(base_sample + sample_idx))
         state, o, d = _camera_rays(
             state, pixel_x, pixel_y, camera, resolution
         )
@@ -320,11 +362,9 @@ def _wavefront_loop(
         return out
 
     final = jax.lax.while_loop(cond, body, carry0)
-    image = final["film"].reshape(height, width, 3)
-    counts = final["sample"].reshape(height, width)
     stats = {
         "closest_rays": final["closest_rays"],
         "shadow_rays": final["shadow_rays"],
         "iterations": final["it"],
     }
-    return image, counts, stats
+    return final["film"], final["sample"], stats

@@ -1,0 +1,133 @@
+"""CLI surface: flags, exit codes, end-to-end tiny render, checkpoints."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rsoderh_raytracing_tpu.cli import main
+
+
+def _tiny_args(assets_dir, tmp_path, extra=()):
+    return [
+        "--scene",
+        os.path.join(assets_dir, "scenes", "default.toml"),
+        "--resolution",
+        "24x16",
+        "--spp",
+        "2",
+        "--max-bounces",
+        "3",
+        "--output",
+        str(tmp_path / "out.png"),
+        "--quiet",
+        *extra,
+    ]
+
+
+def test_cli_renders_png(assets_dir, tmp_path):
+    assert main(_tiny_args(assets_dir, tmp_path)) == 0
+    png = (tmp_path / "out.png").read_bytes()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_bad_keyboard_layout_exit_2(assets_dir, tmp_path, capsys):
+    code = main(
+        _tiny_args(assets_dir, tmp_path, extra=["--movement-keys", "wasd"])
+    )
+    assert code == 2
+    assert "Invalid keyboard config" in capsys.readouterr().err
+
+
+def test_cli_missing_scene_exit_1(tmp_path, capsys):
+    code = main(
+        [
+            "--scene",
+            str(tmp_path / "nope.toml"),
+            "--quiet",
+            "--output",
+            str(tmp_path / "o.png"),
+        ]
+    )
+    assert code == 1
+    assert "Couldn't open scene" in capsys.readouterr().err
+
+
+def test_cli_bad_resolution_exit_2(assets_dir, tmp_path, capsys):
+    code = main(
+        _tiny_args(assets_dir, tmp_path, extra=["--resolution", "banana"])
+    )
+    assert code == 2
+    assert "Invalid --resolution" in capsys.readouterr().err
+
+
+def test_cli_state_overrides_camera(assets_dir, tmp_path):
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+
+    state = Camera(
+        pos=[5.0, 2.0, 8.0], yaw=0.5, pitch=-0.2, fov_y=1.4
+    ).serialize()
+    # Rendering with a moved camera must produce a different image.
+    a = tmp_path / "a.png"
+    b = tmp_path / "b.png"
+    assert main(_tiny_args(assets_dir, tmp_path)) == 0
+    os.rename(tmp_path / "out.png", a)
+    assert (
+        main(_tiny_args(assets_dir, tmp_path, extra=["--state", state])) == 0
+    )
+    os.rename(tmp_path / "out.png", b)
+    assert a.read_bytes() != b.read_bytes()
+
+
+def test_cli_checkpoint_roundtrip(assets_dir, tmp_path):
+    ckpt = str(tmp_path / "film.npz")
+    assert (
+        main(_tiny_args(assets_dir, tmp_path, extra=["--save-checkpoint", ckpt]))
+        == 0
+    )
+    with np.load(ckpt) as z:
+        assert z["cumulative"].shape == (16, 24, 3)
+        assert int(z["sample_count"]) == 2
+
+    # Resume adds more samples on top.
+    assert (
+        main(_tiny_args(assets_dir, tmp_path, extra=["--checkpoint", ckpt]))
+        == 0
+    )
+
+
+def test_cli_devices_sharded(assets_dir, tmp_path):
+    out = tmp_path / "out.png"
+    code = main(
+        [
+            "--scene",
+            os.path.join(assets_dir, "scenes", "default.toml"),
+            "--resolution",
+            "16x16",
+            "--spp",
+            "8",
+            "--max-bounces",
+            "3",
+            "--devices",
+            "dp:4",
+            "--output",
+            str(out),
+            "--quiet",
+        ]
+    )
+    assert code == 0
+    assert out.exists()
+
+
+def test_module_entrypoint_help():
+    result = subprocess.run(
+        [sys.executable, "-m", "rsoderh_raytracing_tpu", "--help"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert result.returncode == 0
+    assert "--scene" in result.stdout

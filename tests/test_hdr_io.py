@@ -1,0 +1,84 @@
+"""Radiance HDR I/O and procedural sky determinism."""
+
+import numpy as np
+import pytest
+
+from rsoderh_raytracing_tpu.env import hdr_io
+
+
+def test_hdr_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 1, size=(16, 32, 3)) ** 2 * 50).astype(np.float32)
+    path = str(tmp_path / "test.hdr")
+    hdr_io.write_hdr(path, img)
+    back = hdr_io.read_hdr(path)
+    assert back.shape == img.shape
+    # RGBE shares one exponent across channels: ~1% relative on the
+    # max channel, absolute quantum ~max/128 on small channels.
+    np.testing.assert_allclose(back, img, rtol=0.01, atol=float(img.max()) / 100)
+
+
+def test_hdr_rle_scanlines(tmp_path):
+    """Synthesize an adaptive-RLE file and decode it."""
+    width, height = 16, 2
+    img = np.zeros((height, width, 3), np.float32)
+    img[0] = [1.0, 0.5, 0.25]  # constant row -> run-length encodable
+    img[1, :, 0] = np.linspace(0.1, 1.0, width)  # varying row
+
+    rgbe = hdr_io.float_to_rgbe(img)
+    payload = bytearray()
+    for y in range(height):
+        payload += bytes([2, 2, width >> 8, width & 0xFF])
+        for ch in range(4):
+            row = rgbe[y, :, ch]
+            if np.all(row == row[0]):
+                payload += bytes([128 + width, int(row[0])])  # run
+            else:
+                payload += bytes([width]) + row.tobytes()  # literal
+    data = (
+        b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+        + f"-Y {height} +X {width}\n".encode()
+        + bytes(payload)
+    )
+    path = tmp_path / "rle.hdr"
+    path.write_bytes(data)
+    back = hdr_io.read_hdr(str(path))
+    np.testing.assert_allclose(back, img, rtol=0.01, atol=float(img.max()) / 100)
+
+
+def test_load_image_npy(tmp_path):
+    img = np.random.default_rng(1).random((8, 8, 3)).astype(np.float32)
+    path = str(tmp_path / "env.npy")
+    np.save(path, img)
+    np.testing.assert_array_equal(hdr_io.load_image(path), img)
+
+
+def test_load_image_rejects_bad_shape(tmp_path):
+    path = str(tmp_path / "bad.npy")
+    np.save(path, np.zeros((8, 8), np.float32))
+    with pytest.raises(ValueError, match="expected"):
+        hdr_io.load_image(path)
+
+
+def test_procedural_sky_deterministic():
+    a = hdr_io.procedural_sky(64, 32, sun_radius=0.15)
+    b = hdr_io.procedural_sky(64, 32, sun_radius=0.15)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (32, 64, 3)
+    assert (a >= 0).all()
+    # Sun pixel much brighter than the median sky.
+    assert a.max() > 50 * np.median(a)
+
+
+def test_environment_set_cycling():
+    from rsoderh_raytracing_tpu.env.environment import (
+        Environment,
+        EnvironmentMaps,
+    )
+
+    tex = np.ones((4, 8, 3), np.float32)
+    envs = EnvironmentMaps(
+        [Environment.from_texture(n, tex) for n in ("a", "b", "c")]
+    )
+    assert envs.next_index(0) == 1
+    assert envs.next_index(2) == 0  # wraps (src/camera.rs:271-278)

@@ -99,3 +99,69 @@ def test_sharded_renderer_wrapper(small_scene, uniform_env):
 def test_mesh_validation():
     with pytest.raises(ValueError, match="does not divide"):
         make_mesh(n_devices=8, tile=3)
+
+
+def test_freerun_sharded_exact_cover(small_scene, uniform_env):
+    """With max_bounces=1 every path is exactly one iteration, so a
+    free-run budget of B on an S-wide sample axis completes exactly the
+    global samples 0..B*S-1 for every pixel — equal to the exact-spp
+    render of B*S samples."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.parallel.sharding import (
+        render_freerun_sharded,
+    )
+    from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+
+    ds = build_device_scene(small_scene)
+    cam = camera_pytree(small_scene.camera)
+    res = (16, 16)
+    mesh = make_mesh(n_devices=8, tile=2)  # 2 tiles x 4 samples
+
+    base = np.zeros((16, 16), np.uint32)
+    budget = 3
+    summed, counts = render_freerun_sharded(
+        ds, uniform_env, cam, base, mesh, res, np.uint32(budget), 1
+    )
+    counts = np.asarray(counts)
+    np.testing.assert_array_equal(counts, budget * 4)  # 4 sample shards
+
+    expected = np.asarray(
+        render_wavefront(
+            ds, uniform_env, cam, np.uint32(0), res, np.uint32(budget * 4), 1
+        )
+    )
+    np.testing.assert_allclose(np.asarray(summed), expected, rtol=2e-5, atol=2e-5)
+
+
+def test_freerun_sharded_resume(small_scene, uniform_env):
+    """Resuming from the returned counts continues disjoint streams."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.parallel.sharding import (
+        render_freerun_sharded,
+    )
+    from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+
+    ds = build_device_scene(small_scene)
+    cam = camera_pytree(small_scene.camera)
+    res = (16, 16)
+    mesh = make_mesh(n_devices=4, tile=1)
+
+    base = np.zeros((16, 16), np.uint32)
+    img1, c1 = render_freerun_sharded(
+        ds, uniform_env, cam, base, mesh, res, np.uint32(2), 1
+    )
+    img2, c2 = render_freerun_sharded(
+        ds, uniform_env, cam, np.asarray(c1), mesh, res, np.uint32(2), 1
+    )
+    total = np.asarray(img1) + np.asarray(img2)
+    counts = np.asarray(c1) + np.asarray(c2)
+    np.testing.assert_array_equal(counts, 16)
+
+    expected = np.asarray(
+        render_wavefront(
+            ds, uniform_env, cam, np.uint32(0), res, np.uint32(16), 1
+        )
+    )
+    np.testing.assert_allclose(total, expected, rtol=2e-5, atol=2e-5)
