@@ -60,7 +60,7 @@ def main() -> int:
     spp = int(os.environ.get("BENCH_SPP", "16"))
     # Iteration budget sized so the mean pixel completes ~spp samples
     # (house mean path length ~3.5 segments).
-    iterations = int(os.environ.get("BENCH_ITERS", str(spp * 4)))
+    iterations = int(os.environ.get("BENCH_ITERS", "256"))
 
     # --- timed free-run wavefront renders ---------------------------------
     # Every traced ray lands in the film (free-run keeps all lanes busy,

@@ -95,7 +95,14 @@ def scene_primitive_bounds(scene: Scene):
 
 def build_bvh(scene: Scene) -> FlatBVH:
     mins, maxs, types, indices = scene_primitive_bounds(scene)
-    return build_bvh_from_bounds(mins, maxs, types, indices)
+    bvh = build_bvh_from_bounds(mins, maxs, types, indices)
+    # Build stats, as the reference logs them (src/bvh.rs:143-146).
+    import logging
+
+    logging.getLogger(__name__).info(
+        "tree depth: %d; tree node count: %d", bvh.depth, bvh.num_nodes
+    )
+    return bvh
 
 
 def build_bvh_from_bounds(

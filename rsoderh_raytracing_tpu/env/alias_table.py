@@ -110,6 +110,13 @@ def _build_python(probabilities: np.ndarray) -> AliasTable:
 
     # Unassigned entries keep the identity defaults
     # (probability 1, alias=self, pmf=1/length) — src/environments.rs:161-183.
+    import logging
+
+    logging.getLogger(__name__).info(
+        "AliasTable: %d left over pixels out of %d",
+        int(length - assigned.sum()),
+        length,
+    )
     return AliasTable(
         probability=out_probability, alias_index=out_alias, pmf=out_pmf
     )
