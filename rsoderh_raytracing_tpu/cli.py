@@ -19,6 +19,7 @@ default; the interactive viewer is opt-in via ``--view``):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -80,6 +81,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax
+    # before the environment variable could take effect.
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:  # backends already initialized; keep going
+            pass
 
     from rsoderh_raytracing_tpu.scene.camera import Camera, KeyboardLayout
 

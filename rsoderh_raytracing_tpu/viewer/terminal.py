@@ -33,25 +33,30 @@ def _supports_tty() -> bool:
 
 
 def _render_ansi(image: np.ndarray, max_cols: int, max_rows: int) -> str:
-    """(H,W,3) float [0,1] -> ANSI half-block string."""
+    """(H,W,3) float [0,1] -> ANSI 24-bit half-block string (one char
+    cell shows two vertically stacked pixels)."""
     from rsoderh_raytracing_tpu.ops.tonemap import linear_to_srgb
 
-    img = np.asarray(linear_to_srgb(image))
-    img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    max_cols = max(8, max_cols)  # unsized PTYs report 0x0
+    max_rows = max(4, max_rows)
+    img8 = (np.clip(np.asarray(linear_to_srgb(image)), 0, 1) * 255).astype(
+        np.uint8
+    )
     height, width = img8.shape[:2]
-    # Fit into the terminal: each char cell = 1 wide x 2 tall pixels.
-    step = max(1, (width + max_cols - 1) // max_cols, ((height // 2) + max_rows - 1) // max_rows)
-    img8 = img8[:: step * 2 if step > 1 else 2]  # top rows
+    step = max(
+        1,
+        -(-width // max_cols),
+        -(-(height // 2) // max_rows),
+    )
+    sub = img8[::step, ::step]
     lines = []
-    sub = (np.clip(img, 0, 1) * 255).astype(np.uint8)[::step]
     for row in range(0, sub.shape[0] - 1, 2):
-        top = sub[row][::step]
-        bottom = sub[row + 1][::step]
-        parts = []
-        for (tr, tg, tb), (br, bg, bb) in zip(top, bottom):
-            parts.append(
-                f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀"
-            )
+        top = sub[row]
+        bottom = sub[row + 1]
+        parts = [
+            f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀"
+            for (tr, tg, tb), (br, bg, bb) in zip(top, bottom)
+        ]
         lines.append("".join(parts) + "\x1b[0m")
     return "\n".join(lines)
 
@@ -147,7 +152,10 @@ def run_viewer(
                 count = renderer.step()
                 img = renderer.film.tonemapped()
 
-            cols, rows = os.get_terminal_size()
+            try:
+                cols, rows = os.get_terminal_size()
+            except OSError:
+                cols, rows = 80, 24
             frame = _render_ansi(img, cols, rows - 2)
             sys.stdout.write("\x1b[H" + frame)
             sys.stdout.write(
