@@ -149,7 +149,6 @@ def _build_python(mins: np.ndarray, maxs: np.ndarray):
     the primitive ordering."""
     n = len(mins)
     centers = (mins + maxs) * 0.5
-    area_d = maxs - mins
 
     ids = np.arange(n)
 

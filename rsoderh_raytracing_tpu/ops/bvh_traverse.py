@@ -24,7 +24,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from rsoderh_raytracing_tpu.accel.bvh import FlatBVH, TRAVERSAL_STACK_DEPTH
 from rsoderh_raytracing_tpu.ops import geometry as geo
@@ -87,7 +87,7 @@ def _leaf_test(scene: DeviceScene, bvh: DeviceBVH, ro, rd, start, count):
 
         t_a = jnp.take(scene.tri_a, pidx, axis=0)
         t_e0 = jnp.take(scene.tri_edge0, pidx, axis=0)
-        t_e1 = jnp.take(scene.tri_e1 if hasattr(scene, "tri_e1") else scene.tri_edge1, pidx, axis=0)
+        t_e1 = jnp.take(scene.tri_edge1, pidx, axis=0)
         t_t = _triangle_t(ro, rd, t_a, t_e0, t_e1)
 
         t = jnp.where(ptype == 0, t_s, jnp.where(ptype == 1, t_p, t_t))

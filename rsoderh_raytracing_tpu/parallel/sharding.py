@@ -143,7 +143,6 @@ def render_freerun_sharded(
     film's counts); per-device stream offsets are derived as
     ceil-division of the stride.
     """
-    from rsoderh_raytracing_tpu.render.wavefront import render_freerun
 
     width, height = resolution
     tile_n = mesh.shape["tile"]
