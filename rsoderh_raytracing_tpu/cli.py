@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Path to TOML scene descriptor. Repeatable; last one wins.",
     )
     parser.add_argument("--resolution", default="512x512")
+    parser.add_argument(
+        "--mode",
+        choices=("exact", "freerun"),
+        default="exact",
+        help="exact: every pixel gets exactly --spp samples."
+        " freerun: fastest — per-pixel sample counts vary, rendering"
+        " continues until the minimum reaches --spp.",
+    )
     parser.add_argument("--spp", type=int, default=64)
     parser.add_argument("--max-bounces", type=int, default=10)
     parser.add_argument("--output", default="render.png")
@@ -162,7 +170,7 @@ def main(argv=None) -> int:
             )
 
     start = time.perf_counter()
-    renderer.render(spp=args.spp, progress=not args.quiet)
+    renderer.render(spp=args.spp, progress=not args.quiet, mode=args.mode)
     elapsed = time.perf_counter() - start
     renderer.save_png(args.output)
     if args.save_checkpoint:

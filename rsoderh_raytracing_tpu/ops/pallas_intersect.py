@@ -41,6 +41,7 @@ LANES = 128
 BLOCK = SUBLANES * LANES  # rays per grid step
 
 MAX_UNROLL_PRIMS = 192  # unrolled loop budget (house: 72, default: 40)
+MAX_LOOP_PRIMS = 2048  # fori_loop + dynamic SMEM reads (suzanne: 976)
 
 INF = 3.0e38
 
@@ -57,13 +58,34 @@ def pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def sweep_supported(scene) -> bool:
-    total = (
+def _total_prims(scene) -> int:
+    return (
         scene.sph_radius.shape[0]
         + scene.pln_valid.shape[0]
         + scene.tri_valid.shape[0]
     )
-    return pallas_enabled() and total <= MAX_UNROLL_PRIMS
+
+
+def _loop_enabled() -> bool:
+    # The fori_loop variant keeps primitive constants in SMEM, which on
+    # real v5e hardware is 1MB — a 968-triangle scene needs ~2.9MB and
+    # fails to compile (measured). Until the chunked-grid rework lands it
+    # is opt-in (interpreter tests set this; XLA handles large scenes at
+    # similar in-context speed anyway).
+    return os.environ.get("RT_PALLAS_LOOP") == "1"
+
+
+def sweep_supported(scene) -> bool:
+    if not pallas_enabled():
+        return False
+    total = _total_prims(scene)
+    if total <= MAX_UNROLL_PRIMS:
+        return True
+    return _loop_enabled() and total <= MAX_LOOP_PRIMS
+
+
+def _use_loop(scene) -> bool:
+    return _total_prims(scene) > MAX_UNROLL_PRIMS
 
 
 def _sweep_body(n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz):
@@ -176,11 +198,126 @@ def _sweep_body(n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz):
     return best_t, best_type, best_idx
 
 
-def _closest_kernel(n_sph, n_pln, n_tri, *args):
+def _sweep_body_loop(n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz):
+    """fori_loop sweep for scenes beyond the unroll budget: primitive
+    constants are read per iteration with DYNAMIC scalar indices from
+    SMEM (supported by Mosaic), so the kernel size stays constant no
+    matter the primitive count."""
+    (
+        sph_pos, sph_c2, sph_valid,
+        pln_normal, pln_ndotp, pln_r0, pln_r2, pln_r0dotp, pln_r2dotp,
+        pln_valid,
+        tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
+        tri_valid,
+    ) = refs
+
+    a_q = dx * dx + dy * dy + dz * dz
+    d_dot_o = dx * ox + dy * oy + dz * oz
+    o_dot_o = ox * ox + oy * oy + oz * oz
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+
+    init = (
+        jnp.full(ox.shape, INF, jnp.float32),
+        jnp.full(ox.shape, -1, jnp.int32),
+        jnp.zeros(ox.shape, jnp.int32),
+    )
+
+    def consider(state, t, hit, ptype, pidx):
+        best_t, best_type, best_idx = state
+        better = hit & (t < best_t)
+        return (
+            jnp.where(better, t, best_t),
+            jnp.where(better, ptype, best_type),
+            jnp.where(better, pidx, best_idx),
+        )
+
+    def sphere_body(i, state):
+        cx, cy, cz = sph_pos[i, 0], sph_pos[i, 1], sph_pos[i, 2]
+        b = 2.0 * (d_dot_o - (dx * cx + dy * cy + dz * cz))
+        c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + sph_c2[i]
+        disc = b * b - 4.0 * a_q * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        q = jnp.where(b > 0, -0.5 * (b + sq), -0.5 * (b - sq))
+        t0 = q / a_q
+        t1 = c / jnp.where(q == 0.0, 1.0, q)
+        t = jnp.where(
+            t0 < geo.SPHERE_EPS,
+            t1,
+            jnp.where(t1 < geo.SPHERE_EPS, t0, jnp.minimum(t0, t1)),
+        )
+        t = jnp.where(disc == 0.0, -0.5 * b / a_q, t)
+        hit = (disc >= 0.0) & (t >= geo.SPHERE_EPS) & (sph_valid[i] > 0)
+        return consider(state, t, hit, 0, i)
+
+    def plane_body(i, state):
+        nx, ny, nz = pln_normal[i, 0], pln_normal[i, 1], pln_normal[i, 2]
+        denom = dx * nx + dy * ny + dz * nz
+        ok = jnp.abs(denom) >= geo.PLANE_DENOM_EPS
+        t = (pln_ndotp[i] - (ox * nx + oy * ny + oz * nz)) / jnp.where(
+            ok, denom, 1.0
+        )
+        px = (
+            (ox * pln_r0[i, 0] + oy * pln_r0[i, 1] + oz * pln_r0[i, 2])
+            + t * (dx * pln_r0[i, 0] + dy * pln_r0[i, 1] + dz * pln_r0[i, 2])
+            - pln_r0dotp[i]
+        )
+        pz = (
+            (ox * pln_r2[i, 0] + oy * pln_r2[i, 1] + oz * pln_r2[i, 2])
+            + t * (dx * pln_r2[i, 0] + dy * pln_r2[i, 1] + dz * pln_r2[i, 2])
+            - pln_r2dotp[i]
+        )
+        hit = (
+            ok
+            & (t >= geo.PLANE_T_EPS)
+            & (px >= 0.0)
+            & (px <= 1.0)
+            & (pz >= 0.0)
+            & (pz <= 1.0)
+            & (pln_valid[i] > 0)
+        )
+        return consider(state, t, hit, 1, i)
+
+    def tri_body(i, state):
+        det = dx * tri_cdet[i, 0] + dy * tri_cdet[i, 1] + dz * tri_cdet[i, 2]
+        ok = jnp.abs(det) >= geo.TRI_DET_EPS
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        u = (
+            (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
+            + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
+        ) * inv
+        v = -(
+            (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
+            + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
+        ) * inv
+        t = (
+            (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
+            - tri_adotn[i]
+        ) * inv
+        hit = (
+            ok
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t >= geo.TRI_T_EPS)
+            & (tri_valid[i] > 0)
+        )
+        return consider(state, t, hit, 2, i)
+
+    state = jax.lax.fori_loop(0, n_sph, sphere_body, init)
+    state = jax.lax.fori_loop(0, n_pln, plane_body, state)
+    state = jax.lax.fori_loop(0, n_tri, tri_body, state)
+    return state
+
+
+def _closest_kernel(n_sph, n_pln, n_tri, use_loop, *args):
     refs = args[:18]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[18:24]
     t_ref, type_ref, idx_ref = args[24:]
-    best_t, best_type, best_idx = _sweep_body(
+    body = _sweep_body_loop if use_loop else _sweep_body
+    best_t, best_type, best_idx = body(
         n_sph, n_pln, n_tri, refs,
         ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
     )
@@ -189,11 +326,12 @@ def _closest_kernel(n_sph, n_pln, n_tri, *args):
     idx_ref[:] = best_idx
 
 
-def _any_kernel(n_sph, n_pln, n_tri, *args):
+def _any_kernel(n_sph, n_pln, n_tri, use_loop, *args):
     refs = args[:18]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[18:24]
     (hit_ref,) = args[24:]
-    best_t, _, _ = _sweep_body(
+    body = _sweep_body_loop if use_loop else _sweep_body
+    best_t, _, _ = body(
         n_sph, n_pln, n_tri, refs,
         ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
     )
@@ -250,7 +388,7 @@ def _call(kernel, out_dtypes, scene, ro, rd):
         out_specs = out_specs[0]
 
     result = pl.pallas_call(
-        partial(kernel, n_sph, n_pln, n_tri),
+        partial(kernel, n_sph, n_pln, n_tri, _use_loop(scene)),
         grid=(grid,),
         in_specs=[smem] * 18 + [ray_block] * 6,
         out_specs=out_specs,

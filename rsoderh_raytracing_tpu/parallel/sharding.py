@@ -292,7 +292,41 @@ class ShardedRenderer:
         inner.film.add_samples(summed, s)
         return inner.film.sample_count
 
-    def render(self, spp: int = 16, progress: bool = False):
+    def step_freerun(self, iterations: int) -> int:
+        """Sharded free-run step (see render_freerun_sharded)."""
+        inner = self.inner
+        state_hash = inner._state_hash()
+        if state_hash != inner._last_state_hash:
+            inner.film.reset()
+            inner._last_state_hash = state_hash
+
+        from rsoderh_raytracing_tpu.render.integrator import camera_pytree
+
+        summed, counts = render_freerun_sharded(
+            inner.device_scene,
+            inner._device_env(),
+            camera_pytree(inner.camera),
+            np.asarray(inner.film.counts),
+            self.mesh,
+            (inner.width, inner.height),
+            np.uint32(iterations),
+            inner.max_bounces,
+        )
+        inner.film.add_freerun(summed, counts)
+        return inner.film.sample_count
+
+    def render(
+        self,
+        spp: int = 16,
+        progress: bool = False,
+        batch: int | None = None,
+        mode: str = "exact",
+    ):
+        if mode == "freerun":
+            while self.film.sample_count < spp:
+                remaining = spp - self.film.sample_count
+                self.step_freerun(max(16, remaining * 4))
+            return self.film.tonemapped()
         s = self.mesh.shape["sample"]
         steps = -(-spp // s)
         for _ in range(steps):

@@ -153,11 +153,31 @@ class Renderer:
         spp: int = 16,
         progress: bool = False,
         batch: int | None = None,
+        mode: str = "exact",
     ) -> np.ndarray:
-        """Render `spp` samples and return the tonemapped image (H,W,3)
-        in linear [0,1]. Samples run in wavefront batches (default: all
-        at once; pass batch=1 to force the per-sample scan path)."""
+        """Render until every pixel has >= `spp` samples; returns the
+        tonemapped image (H,W,3) in linear [0,1].
+
+        mode="exact": every pixel gets exactly `spp` samples (wavefront
+        batches; batch=1 forces the per-sample scan path).
+        mode="freerun": iteration-budget wavefront — fastest; cheap
+        pixels exceed `spp`, loops until the minimum count reaches it.
+        """
         start = time.perf_counter()
+        if mode == "freerun":
+            # ~3.5 segments per sample on typical scenes; budget rounds.
+            while self.film.sample_count < spp:
+                remaining = spp - self.film.sample_count
+                self.step_freerun(max(16, remaining * 4))
+                if progress:
+                    elapsed = time.perf_counter() - start
+                    done = self.film.sample_count
+                    print(
+                        f"  min spp {done}/{spp}"
+                        f"  ({done / max(elapsed, 1e-9):.2f} spp/s)"
+                    )
+            return self.film.tonemapped()
+
         if batch is None:
             batch = spp
         done = 0
