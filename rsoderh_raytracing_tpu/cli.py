@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
         " continues until the minimum reaches --spp.",
     )
     parser.add_argument("--spp", type=int, default=64)
+    parser.add_argument(
+        "--intersector",
+        choices=("sweep", "bvh"),
+        default="sweep",
+        help="sweep: dense vectorized primitive tests (fastest for"
+        " reference-scale scenes). bvh: flat-BVH traversal.",
+    )
     parser.add_argument("--max-bounces", type=int, default=10)
     parser.add_argument("--output", default="render.png")
     parser.add_argument("--env-index", type=int, default=0)
@@ -152,6 +159,7 @@ def main(argv=None) -> int:
         height=height,
         environments=environments,
         max_bounces=args.max_bounces,
+        intersector=args.intersector,
     )
     renderer.environment_index = args.env_index % len(environments)
 

@@ -64,7 +64,24 @@ def _sweep_xla(scene: DeviceScene, ro, rd):
     return t, ptype, pidx
 
 
+def _sweep_bvh(scene: DeviceScene, ro, rd):
+    """(t, type, index) via the flat-BVH traversal (parity path with the
+    reference's cast_ray_bvh node ordering)."""
+    from rsoderh_raytracing_tpu.ops.bvh_traverse import traverse_closest
+
+    t, slot = traverse_closest(scene, scene.bvh, ro, rd)
+    hit = slot >= 0
+    slot_safe = jnp.where(hit, slot, 0)
+    ptype = jnp.where(
+        hit, jnp.take(scene.bvh.prim_type, slot_safe), -1
+    )
+    pidx = jnp.take(scene.bvh.prim_index, slot_safe)
+    return jnp.where(hit, t, INF), ptype, pidx
+
+
 def _sweep(scene: DeviceScene, ro, rd):
+    if scene.bvh is not None:
+        return _sweep_bvh(scene, ro, rd)
     if pallas_intersect.sweep_supported(scene):
         return pallas_intersect.closest_sweep(scene, ro, rd)
     return _sweep_xla(scene, ro, rd)
@@ -125,6 +142,9 @@ def closest_hit(scene: DeviceScene, ro, rd) -> HitRecord:
 
 def any_hit(scene: DeviceScene, ro, rd):
     """True where any primitive blocks the ray. ro, rd: (N,3) -> (N,) bool."""
+    if scene.bvh is not None:
+        t, ptype, _ = _sweep_bvh(scene, ro, rd)
+        return ptype >= 0
     if pallas_intersect.sweep_supported(scene):
         return pallas_intersect.any_sweep(scene, ro, rd)
     t_sph = geo.sphere_distances_fast(ro, rd, scene)

@@ -37,12 +37,20 @@ class Renderer:
         height: int = 512,
         environments: Optional[EnvironmentMaps] = None,
         max_bounces: int = MAX_BOUNCES,
+        intersector: str = "sweep",
     ):
+        """intersector: 'sweep' (dense vectorized tests — fastest for the
+        reference's scene sizes) or 'bvh' (flat-BVH traversal with the
+        reference's node ordering; for very large scenes)."""
         self.scene = scene
         self.width = width
         self.height = height
         self.max_bounces = max_bounces
-        self.device_scene = build_device_scene(scene)
+        if intersector not in ("sweep", "bvh"):
+            raise ValueError(f"unknown intersector '{intersector}'")
+        self.device_scene = build_device_scene(
+            scene, with_bvh=intersector == "bvh"
+        )
         self.environments = environments or load_default_environments()
         self.environment_index = 0
         self._device_env_cache: dict[int, object] = {}

@@ -82,6 +82,9 @@ class DeviceScene:
     tri_cv: Any  # (T,3) a x e0           (v*det = -(m.e0 + d.cv))
     tri_n: Any  # (T,3) e0 x e1           (t*det = o.n - adotn)
     tri_adotn: Any  # (T,)
+    # Optional flattened BVH (ops/bvh_traverse.DeviceBVH) — present when
+    # built with with_bvh=True; selects the BVH-guided intersector.
+    bvh: Any = None
 
     @property
     def num_sphere_lanes(self) -> int:
@@ -96,8 +99,14 @@ class DeviceScene:
         return self.tri_valid.shape[0]
 
 
-def build_device_scene(scene: Scene, pad_to: int = 8) -> DeviceScene:
-    """Flatten + pad a host Scene into a DeviceScene of jnp arrays."""
+def build_device_scene(
+    scene: Scene, pad_to: int = 8, with_bvh: bool = False
+) -> DeviceScene:
+    """Flatten + pad a host Scene into a DeviceScene of jnp arrays.
+
+    with_bvh=True additionally builds the flat SAH BVH (accel/bvh.py)
+    and attaches it, selecting the BVH-guided traversal intersector
+    (ops/bvh_traverse.py) instead of the dense sweep."""
     materials = scene.materials or []
     m = max(1, len(materials))
     mat_color = np.zeros((m, 3), np.float32)
@@ -178,8 +187,16 @@ def build_device_scene(scene: Scene, pad_to: int = 8) -> DeviceScene:
     tri_n = np.cross(tri_edge0, tri_edge1)
     tri_adotn = (tri_a * tri_n).sum(-1)
 
+    device_bvh = None
+    if with_bvh:
+        from rsoderh_raytracing_tpu.accel.bvh import build_bvh
+        from rsoderh_raytracing_tpu.ops import bvh_traverse
+
+        device_bvh = bvh_traverse.device_bvh(build_bvh(scene))
+
     as_jnp = lambda x: jnp.asarray(x)  # noqa: E731
     return DeviceScene(
+        bvh=device_bvh,
         sph_c2=as_jnp(sph_c2.astype(np.float32)),
         pln_ndotp=as_jnp(pln_ndotp.astype(np.float32)),
         pln_r0=as_jnp(pln_r0.astype(np.float32)),
