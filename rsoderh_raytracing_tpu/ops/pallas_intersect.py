@@ -66,13 +66,27 @@ def _total_prims(scene) -> int:
     )
 
 
+TRI_CHUNK = 64  # triangles per grid step in the chunked sweep
+
+
 def _loop_enabled() -> bool:
     # The fori_loop variant keeps primitive constants in SMEM, which on
     # real v5e hardware is 1MB — a 968-triangle scene needs ~2.9MB and
-    # fails to compile (measured). Until the chunked-grid rework lands it
-    # is opt-in (interpreter tests set this; XLA handles large scenes at
-    # similar in-context speed anyway).
+    # fails to compile (measured). The chunked-grid sweep replaces it for
+    # big scenes; the loop variant stays opt-in for experimentation.
     return os.environ.get("RT_PALLAS_LOOP") == "1"
+
+
+def _chunked_applicable(scene) -> bool:
+    """Big-triangle scenes use the chunked grid when the non-triangle
+    lanes fit the unroll budget and triangle lanes divide into chunks."""
+    small = scene.sph_radius.shape[0] + scene.pln_valid.shape[0]
+    n_tri = scene.tri_valid.shape[0]
+    return (
+        small + TRI_CHUNK <= MAX_UNROLL_PRIMS
+        and n_tri % TRI_CHUNK == 0
+        and n_tri <= MAX_LOOP_PRIMS
+    )
 
 
 def sweep_supported(scene) -> bool:
@@ -81,11 +95,23 @@ def sweep_supported(scene) -> bool:
     total = _total_prims(scene)
     if total <= MAX_UNROLL_PRIMS:
         return True
-    return _loop_enabled() and total <= MAX_LOOP_PRIMS
+    if _loop_enabled() and total <= MAX_LOOP_PRIMS:
+        return True
+    return _chunked_applicable(scene)
 
 
 def _use_loop(scene) -> bool:
-    return _total_prims(scene) > MAX_UNROLL_PRIMS
+    return (
+        _total_prims(scene) > MAX_UNROLL_PRIMS
+        and _loop_enabled()
+        and not _chunked_applicable(scene)
+    )
+
+
+def _use_chunked(scene) -> bool:
+    return (
+        _total_prims(scene) > MAX_UNROLL_PRIMS and _chunked_applicable(scene)
+    )
 
 
 def _sweep_body(n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz):
@@ -312,6 +338,134 @@ def _sweep_body_loop(n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz):
     return state
 
 
+def _chunked_closest_kernel(n_sph, n_pln, *args):
+    """Grid (ray_blocks, tri_chunks): out blocks are revisited across the
+    chunk axis (innermost), accumulating the closest hit; spheres+planes
+    run once at chunk 0. Triangle constants arrive as SMEM windows of
+    TRI_CHUNK rows — a few KB regardless of scene size."""
+    small_refs = args[:10]
+    tri_refs = args[10:18]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[18:24]
+    t_ref, type_ref, idx_ref = args[24:]
+
+    (
+        tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
+        tri_valid,
+    ) = tri_refs
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        # 18-ref layout expected by _sweep_body; zero triangles processed.
+        refs = tuple(small_refs) + tuple(tri_refs)
+        best_t, best_type, best_idx = _sweep_body(
+            n_sph, n_pln, 0, refs, ox, oy, oz, dx, dy, dz
+        )
+        t_ref[:] = best_t
+        type_ref[:] = best_type
+        idx_ref[:] = best_idx
+
+    best_t = t_ref[:]
+    best_type = type_ref[:]
+    best_idx = idx_ref[:]
+
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    base = j * TRI_CHUNK
+
+    for i in range(TRI_CHUNK):
+        det = dx * tri_cdet[i, 0] + dy * tri_cdet[i, 1] + dz * tri_cdet[i, 2]
+        ok = jnp.abs(det) >= geo.TRI_DET_EPS
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        u = (
+            (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
+            + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
+        ) * inv
+        v = -(
+            (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
+            + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
+        ) * inv
+        t = (
+            (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
+            - tri_adotn[i, 0]
+        ) * inv
+        hit = (
+            ok
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t >= geo.TRI_T_EPS)
+            & (tri_valid[i, 0] > 0)
+        )
+        better = hit & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_type = jnp.where(better, 2, best_type)
+        best_idx = jnp.where(better, base + i, best_idx)
+
+    t_ref[:] = best_t
+    type_ref[:] = best_type
+    idx_ref[:] = best_idx
+
+
+def _chunked_call(scene, ro, rd):
+    n = ro.shape[0]
+    comps, n_pad = _ray_tiles(ro, rd)
+    rows = n_pad // LANES
+    grid_rays = rows // SUBLANES
+
+    n_sph = scene.sph_radius.shape[0]
+    n_pln = scene.pln_valid.shape[0]
+    n_tri = scene.tri_valid.shape[0]
+    n_chunks = n_tri // TRI_CHUNK
+
+    refs = _scene_refs(scene)
+    small_refs = refs[:10]
+    # Mosaic requires rank-1 blocks to be 128-multiples; keep the per-
+    # triangle scalars as (T, 1) so every block is rank 2.
+    tri_arrays = tuple(
+        arr if arr.ndim == 2 else arr.reshape(-1, 1) for arr in refs[10:]
+    )
+
+    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tri_specs = [
+        pl.BlockSpec(
+            (TRI_CHUNK, arr.shape[1]),
+            lambda i, j: (j, 0),
+            memory_space=pltpu.SMEM,
+        )
+        for arr in tri_arrays
+    ]
+    ray_block = pl.BlockSpec(
+        (SUBLANES, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_block = pl.BlockSpec(
+        (SUBLANES, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    t, ptype, pidx = pl.pallas_call(
+        partial(_chunked_closest_kernel, n_sph, n_pln),
+        grid=(grid_rays, n_chunks),
+        in_specs=[smem_full] * 10 + tri_specs + [ray_block] * 6,
+        out_specs=(out_block, out_block, out_block),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(*small_refs, *tri_arrays, *comps)
+    return (
+        t.reshape(-1)[:n],
+        ptype.reshape(-1)[:n],
+        pidx.reshape(-1)[:n],
+    )
+
+
 def _closest_kernel(n_sph, n_pln, n_tri, use_loop, *args):
     refs = args[:18]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[18:24]
@@ -403,6 +557,8 @@ def _call(kernel, out_dtypes, scene, ro, rd):
 def closest_sweep(scene, ro, rd):
     """(t, prim_type, prim_index) per ray. prim_type: 0 sphere / 1 plane
     / 2 triangle / -1 miss; t is INF on miss. ro, rd: (N, 3)."""
+    if _use_chunked(scene):
+        return _chunked_call(scene, ro, rd)
     return _call(
         _closest_kernel,
         (jnp.float32, jnp.int32, jnp.int32),
@@ -414,5 +570,8 @@ def closest_sweep(scene, ro, rd):
 
 def any_sweep(scene, ro, rd):
     """(N,) bool occlusion."""
+    if _use_chunked(scene):
+        _, ptype, _ = _chunked_call(scene, ro, rd)
+        return ptype >= 0
     (hit,) = _call(_any_kernel, (jnp.int32,), scene, ro, rd)
     return hit != 0

@@ -146,8 +146,11 @@ def build_device_scene(
         pln_valid[i] = True
 
     # Triangles: dereference vertex/normal indices into dense SoA.
+    # Large triangle counts pad to 64 so the chunked Pallas sweep's
+    # blocks divide evenly (ops/pallas_intersect.py TRI_CHUNK).
     tris = scene.meshes.triangles
-    t_n = _round_up(len(tris), pad_to)
+    tri_pad = pad_to if len(tris) <= 192 else 64
+    t_n = _round_up(len(tris), tri_pad)
     tri_a = np.zeros((t_n, 3), np.float32)
     tri_edge0 = np.zeros((t_n, 3), np.float32)
     tri_edge1 = np.zeros((t_n, 3), np.float32)

@@ -103,9 +103,9 @@ def test_budget_gates():
     assert not pallas_intersect.sweep_supported(huge)
 
 
-def test_loop_variant_matches_xla_suzanne(assets_dir):
-    """The fori_loop + dynamic-SMEM variant (scenes beyond the unroll
-    budget) matches the XLA sweep on suzanne (968 triangles)."""
+def test_chunked_variant_matches_xla_suzanne(assets_dir):
+    """The chunked-grid variant (scenes beyond the unroll budget)
+    matches the XLA sweep on suzanne (968 triangles)."""
     import os as _os
 
     from rsoderh_raytracing_tpu import load_scene
@@ -114,7 +114,7 @@ def test_loop_variant_matches_xla_suzanne(assets_dir):
 
     scene = load_scene(_os.path.join(assets_dir, "scenes", "suzanne.toml"))
     ds = build_device_scene(scene)
-    assert pallas_intersect._use_loop(ds)
+    assert pallas_intersect._use_chunked(ds)
     assert pallas_intersect.sweep_supported(ds)
 
     ro, rd = _random_rays(300, seed=5)
@@ -128,3 +128,42 @@ def test_loop_variant_matches_xla_suzanne(assets_dir):
     assert hit.sum() > 20
     np.testing.assert_array_equal(ix_p[hit], ix_x[hit])
     np.testing.assert_allclose(t_p[hit], t_x[hit], rtol=1e-5)
+
+
+def test_loop_variant_matches_xla_sphere_cloud():
+    """The fori_loop variant (opt-in; used when chunking doesn't apply)
+    matches the XLA sweep on a >unroll-budget sphere cloud."""
+    from rsoderh_raytracing_tpu.ops import intersect, pallas_intersect
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Scene,
+        Sphere,
+    )
+
+    rng = np.random.default_rng(7)
+    scene = Scene(
+        materials=[Material((1, 1, 1), 1, 0, (0, 0, 0))],
+        spheres=[
+            Sphere(pos=rng.uniform(-10, 10, 3), radius=0.6, material_id=0)
+            for _ in range(256)
+        ],
+        planes=[],
+        meshes=PackedMeshes.empty(),
+        camera=Camera(pos=[0, 0, 0], yaw=0, pitch=0, fov_y=1.0),
+    )
+    ds = build_device_scene(scene)
+    assert pallas_intersect._use_loop(ds)  # RT_PALLAS_LOOP set by fixture
+
+    ro, rd = _random_rays(300, seed=8)
+    t_p, ty_p, ix_p = map(
+        np.asarray, pallas_intersect.closest_sweep(ds, ro, rd)
+    )
+    t_x, ty_x, ix_x = map(np.asarray, intersect._sweep_xla(ds, ro, rd))
+    np.testing.assert_array_equal(ty_p, ty_x)
+    hit = ty_x >= 0
+    assert hit.sum() > 20
+    np.testing.assert_array_equal(ix_p[hit], ix_x[hit])
+    np.testing.assert_allclose(t_p[hit], t_x[hit], rtol=1e-4, atol=1e-4)
