@@ -25,7 +25,6 @@ BASELINE_MRAYS = 100.0
 def main() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
-    import jax.numpy as jnp
 
     from rsoderh_raytracing_tpu import load_scene
     from rsoderh_raytracing_tpu.env.environment import (
@@ -33,13 +32,7 @@ def main() -> int:
         device_environment,
     )
     from rsoderh_raytracing_tpu.env.hdr_io import procedural_sky
-    from rsoderh_raytracing_tpu.ops import rng
-    from rsoderh_raytracing_tpu.render.integrator import (
-        camera_pytree,
-        generate_camera_rays,
-        render_sample,
-        trace_rays,
-    )
+    from rsoderh_raytracing_tpu.render.integrator import camera_pytree
     from rsoderh_raytracing_tpu.scene.device import build_device_scene
 
     root = os.path.dirname(os.path.abspath(__file__))

@@ -189,6 +189,13 @@ def main(argv=None) -> int:
             f"Rendered {args.scene[-1]} at {width}x{height}, {total} spp in"
             f" {elapsed:.2f}s -> {args.output}"
         )
+        stats = getattr(renderer, "last_stats", None)
+        if stats:
+            rays = stats["closest_rays"] + stats["shadow_rays"]
+            print(
+                f"last step: {rays / 1e6:.1f}M rays,"
+                f" {stats['iterations']} wavefront iterations"
+            )
         print(f"camera state: {scene.camera.serialize()}")
     return 0
 

@@ -57,6 +57,7 @@ class Renderer:
         self.camera = scene.camera
         self.film = Film(width, height)
         self._last_state_hash: Optional[tuple] = None
+        self.last_stats: Optional[dict] = None
 
     # -- state hash / progressive reset (src/state.rs:774-789) -------------
 
@@ -144,7 +145,7 @@ class Renderer:
             self.film.reset()
             self._last_state_hash = state_hash
 
-        summed, counts = render_freerun(
+        summed, counts, stats = render_freerun(
             self.device_scene,
             self._device_env(),
             camera_pytree(self.camera),
@@ -152,8 +153,16 @@ class Renderer:
             (self.width, self.height),
             np.uint32(iterations),
             self.max_bounces,
+            with_stats=True,
         )
         self.film.add_freerun(summed, counts)
+        # Observability: rays traced in this step (SURVEY.md section 5's
+        # Mrays accounting), exposed for profiling/progress reporting.
+        self.last_stats = {
+            "closest_rays": float(stats["closest_rays"]),
+            "shadow_rays": float(stats["shadow_rays"]),
+            "iterations": int(stats["iterations"]),
+        }
         return self.film.sample_count
 
     def render(
