@@ -1,0 +1,119 @@
+"""Terminal viewer: ANSI rendering units + a PTY-driven interactive run.
+
+The PTY test re-creates the two crashes found while driving the viewer
+(missing os import in the CLI, ZeroDivisionError on unsized PTYs)."""
+
+import os
+import re
+import select
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from rsoderh_raytracing_tpu.viewer.terminal import _render_ansi
+
+
+def test_render_ansi_basic():
+    img = np.random.default_rng(0).random((32, 48, 3)).astype(np.float32)
+    frame = _render_ansi(img, 80, 24)
+    lines = frame.split("\n")
+    assert len(lines) == 16  # two pixel rows per text line
+    assert "\x1b[38;2;" in frame and "▀" in frame
+    assert frame.count("▀") == 16 * 48
+
+
+def test_render_ansi_downsamples_to_fit():
+    img = np.zeros((128, 256, 3), np.float32)
+    frame = _render_ansi(img, 64, 20)
+    lines = frame.split("\n")
+    assert len(lines) <= 20
+    assert frame.count("▀") <= 64 * 20
+
+
+def test_render_ansi_zero_terminal_size():
+    """Unsized PTYs report 0x0; must not divide by zero."""
+    img = np.zeros((16, 16, 3), np.float32)
+    frame = _render_ansi(img, 0, -2)
+    assert "▀" in frame
+
+
+def test_viewer_non_tty_refuses(default_scene, capsys):
+    from rsoderh_raytracing_tpu.scene.camera import KeyboardLayout
+    from rsoderh_raytracing_tpu.viewer.terminal import run_viewer
+
+    layout = KeyboardLayout.parse_config("wasdqe", "cpe")
+    assert run_viewer(default_scene, layout, width=16, height=12) == 2
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="needs pty")
+def test_viewer_pty_end_to_end(assets_dir):
+    """Run the CLI viewer as a fresh process on a PTY pair (forking the
+    test process after XLA backend init would hang), watch frames
+    accumulate, press 'p' (camera state) and 'q' (quit)."""
+    import pty as pty_mod
+    import subprocess
+
+    master, slave = pty_mod.openpty()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "rsoderh_raytracing_tpu.cli",
+            "--scene",
+            os.path.join(assets_dir, "scenes", "default.toml"),
+            "--view",
+            "--resolution",
+            "32x24",
+        ],
+        stdin=slave,
+        stdout=slave,
+        stderr=slave,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+        close_fds=True,
+    )
+    os.close(slave)
+
+    out = b""
+    sent_p = sent_cont = sent_q = False
+    deadline = time.time() + 240
+    try:
+        while time.time() < deadline:
+            r, _, _ = select.select([master], [], [], 1.0)
+            if r:
+                try:
+                    out += os.read(master, 262144)
+                except OSError:
+                    break
+            if (
+                out.count(b"\xe2\x96\x80") > 100
+                and b"spp=" in out
+                and not sent_p
+            ):
+                os.write(master, b"p")
+                sent_p = True
+            if sent_p and not sent_cont and b"for use with --state" in out:
+                os.write(master, b" ")
+                sent_cont = True
+            if sent_cont and not sent_q:
+                time.sleep(1.0)
+                os.write(master, b"q")
+                sent_q = True
+            if sent_q and proc.poll() is not None:
+                break
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        os.close(master)
+
+    assert out.count(b"\xe2\x96\x80") > 100, f"no frames rendered: {out[-400:]!r}"
+    spps = [int(x) for x in re.findall(rb"spp=(\d+)", out)]
+    assert spps and spps[-1] >= 1, "progressive spp counter missing"
+    assert sent_p and b"for use with --state" in out, "p key state print"
