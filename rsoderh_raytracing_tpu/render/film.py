@@ -28,6 +28,11 @@ def _display(cumulative, counts):
     return aces_tonemap(mean)
 
 
+@jax.jit
+def _min_count(counts):
+    return jnp.min(counts)
+
+
 class Film:
     """Per-pixel radiance sums + per-pixel sample counts.
 
@@ -47,6 +52,10 @@ class Film:
         self.cumulative = jnp.zeros((self.height, self.width, 3), jnp.float32)
         self.counts = jnp.zeros((self.height, self.width), jnp.uint32)
         self._uniform_count: int | None = 0
+        # Device-side async min of counts (dispatched on mutation, read
+        # lazily) so `sample_count` never issues a reduction at read time.
+        self._min_dev = None
+        self._min_cache: int | None = None
 
     def resize(self, width: int, height: int) -> None:
         self.width = width
@@ -57,7 +66,11 @@ class Film:
     def sample_count(self) -> int:
         if self._uniform_count is not None:
             return self._uniform_count
-        return int(jnp.min(self.counts))
+        if self._min_cache is None:
+            if self._min_dev is None:
+                self._min_dev = _min_count(self.counts)
+            self._min_cache = int(self._min_dev)
+        return self._min_cache
 
     @sample_count.setter
     def sample_count(self, value: int) -> None:
@@ -66,13 +79,13 @@ class Film:
         self.counts = self.counts + jnp.uint32(max(0, delta))
         if self._uniform_count is not None:
             self._uniform_count = int(value)
+        else:
+            self._min_dev = _min_count(self.counts)
+            self._min_cache = None
 
     def add_sample(self, sample) -> None:
         """Add ONE uniform sample for every pixel."""
-        self.cumulative = _accumulate(self.cumulative, sample)
-        self.counts = self.counts + jnp.uint32(1)
-        if self._uniform_count is not None:
-            self._uniform_count += 1
+        self.add_samples(sample, 1)
 
     def add_samples(self, summed, count: int) -> None:
         """Add the SUM of `count` uniform samples per pixel."""
@@ -80,12 +93,20 @@ class Film:
         self.counts = self.counts + jnp.uint32(count)
         if self._uniform_count is not None:
             self._uniform_count += count
+        else:
+            self._min_dev = _min_count(self.counts)
+            self._min_cache = None
 
     def add_freerun(self, summed, counts) -> None:
         """Add a free-run result: per-pixel sums + per-pixel counts."""
         self.cumulative = _accumulate(self.cumulative, summed)
         self.counts = self.counts + counts.astype(jnp.uint32)
         self._uniform_count = None
+        # Dispatch the min reduction NOW (async): by the time the host
+        # reads sample_count the device has computed it alongside the
+        # accumulate — no reduction-per-read sync on the CLI hot loop.
+        self._min_dev = _min_count(self.counts)
+        self._min_cache = None
 
     def mean_radiance(self) -> np.ndarray:
         counts = jnp.maximum(self.counts, 1.0)[..., None]
@@ -124,6 +145,8 @@ class Film:
                     f" ({self.height}, {self.width}, 3)"
                 )
             self.cumulative = jnp.asarray(cumulative)
+            self._min_dev = None
+            self._min_cache = None
             if "counts" in z.files:
                 self.counts = jnp.asarray(z["counts"].astype(np.uint32))
                 uniform = np.unique(z["counts"]).size == 1

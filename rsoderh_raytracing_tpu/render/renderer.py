@@ -149,7 +149,7 @@ class Renderer:
             self.device_scene,
             self._device_env(),
             camera_pytree(self.camera),
-            np.asarray(self.film.counts),
+            self.film.counts,  # device array: no host round trip
             (self.width, self.height),
             np.uint32(iterations),
             self.max_bounces,
