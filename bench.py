@@ -72,7 +72,9 @@ def main() -> int:
         with_stats=True,
     )
     jax.block_until_ready(warmup_img)
-    counts = np.asarray(warmup_counts).astype(np.uint32)
+    import jax.numpy as jnp
+
+    counts = warmup_counts  # device array: no host round trips in the loop
 
     timed = int(os.environ.get("BENCH_STEPS", "3"))
     total_rays = 0.0
@@ -92,9 +94,10 @@ def main() -> int:
             max_bounces,
             with_stats=True,
         )
-        counts = counts + np.asarray(counts_dev).astype(np.uint32)
+        counts = counts + counts_dev
+        # stats are O(1) scalars — reading them is the step sync point.
         total_rays += float(stats["closest_rays"] + stats["shadow_rays"])
-        total_spp += float(np.asarray(counts_dev).mean())
+        total_spp += float(jnp.mean(counts_dev.astype(jnp.float32)))
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
 

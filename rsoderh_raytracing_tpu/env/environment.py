@@ -33,11 +33,19 @@ DEFAULT_ENVIRONMENT_NAMES = ("winter_lake_01_2k", "passendorf_snow_2k")
 
 @dataclasses.dataclass
 class Environment:
-    """One HDRI + its importance-sampling table (host side)."""
+    """One HDRI + its importance-sampling table (host side).
+
+    The texture is RGBE-quantized at construction (hdr_io.rgbe_quantize):
+    the device radiance tables store RGBE words, and building the alias
+    table from the quantized values keeps stored pmfs, in-kernel pmf
+    recomputes, and quad radiance mutually consistent. Real ``.hdr``
+    sources are RGBE on disk already, so this matches the reference's
+    effective texel values (src/state.rs:119-122)."""
 
     name: str
-    texture: np.ndarray  # (H, W, 3) float32, lat-long
+    texture: np.ndarray  # (H, W, 3) float32, lat-long (RGBE-quantized)
     alias: AliasTable
+    weight_sum: float = 0.0  # f32(sum of luminance*sin(theta) weights)
 
     @property
     def width(self) -> int:
@@ -49,9 +57,15 @@ class Environment:
 
     @staticmethod
     def from_texture(name: str, texture: np.ndarray) -> "Environment":
+        texture = hdr_io.rgbe_quantize(np.asarray(texture, np.float32))
         weights = build_weights_by_luminance(texture)
         return Environment(
-            name=name, texture=texture, alias=build_alias_table(weights)
+            name=name,
+            texture=texture,
+            alias=build_alias_table(weights),
+            weight_sum=float(
+                np.float32(weights.sum(dtype=np.float64))
+            ),
         )
 
 
@@ -60,50 +74,70 @@ class Environment:
 class DeviceEnvironment:
     """The active environment on device. Consumed by ops/envmap.py.
 
-    TPU gathers are byte-bound random reads (~2 GB/s), so the sampling
-    arrays are packed to minimize gather count x width:
-    - `quad`:      (H*W, 12) neighbor-packed texels [c00 c10 c01 c11]*rgb
-                   so one gather serves a full bilinear fetch,
-    - `alias_pair`: (H*W, 2) [probability, alias_index-as-float] so the
-                   alias decision is one 8-byte gather,
-    - `pmf`:       (H*W,) separate because MIS pdf lookups need only it.
-    `texture` keeps the raw f32 image for host access and debug views.
+    TPU gathers are ROW-RATE bound (~80-90 Mrows/s for rows <= 32 bytes,
+    measured, independent of index coherence), so the sampling arrays
+    are packed to minimize gathered rows per path segment — and each row
+    to the 16-byte sweet spot:
+    - `quad`: (H*W, 4) uint32 — RGBE-encoded neighbor-packed texels
+      [c00 c10 c01 c11]: ONE 16-byte gather serves a full bilinear fetch
+      AND (via in-register pmf recompute) the MIS pdf of its texel.
+      Legacy modes keep the round-1 (H*W, 16) bf16/f32 layout
+      (12 radiance + 4 per-texel pmf columns).
+    - `alias_pair`: (H*W, 4) f32 [probability, alias_index, pmf_self,
+      pmf_alias]: the alias decision AND the final index's pmf are one
+      16-byte gather.
+    `texture` keeps the f32 image for host access and debug views.
+    `pmf_norm` carries (length, weight_sum) f32 scalars for the
+    in-register pmf recompute (see ops/envmap.py:radiance_and_pmf).
     """
 
     texture: Any  # (H, W, 3) f32
-    quad: Any  # (H*W, 16) neighbor-packed: 12 radiance + 4 per-texel pmf
+    quad: Any  # (H*W, 4) u32 RGBE quad, or legacy (H*W, 16) bf16/f32
     alias_pair: Any  # (H*W, 4) [probability, alias_index, pmf_self, pmf_alias]
     alias_pmf: Any  # (H*W,) f32
+    pmf_norm: Any  # (2,) f32 [table length, weight sum]
 
 
-def device_environment(
-    env: Environment, radiance_dtype="bfloat16"
-) -> DeviceEnvironment:
-    """Upload an environment. `radiance_dtype` sets the quad (radiance +
-    per-texel pmf) storage: bf16 halves the dominant gather bytes at a
-    measured 0.07% relative RMSE vs f32 at 256 spp (pass np.float32 for
-    bit-parity with the reference's f32 sampler). The alias table and
-    the NEE pdf stay f32 either way."""
+def device_environment(env: Environment, radiance_dtype="rgbe") -> DeviceEnvironment:
+    """Upload an environment. `radiance_dtype` sets quad storage:
+    - "rgbe" (default): 16-byte u32 rows — the measured gather-rate
+      optimum; radiance values are exactly the (already RGBE-quantized)
+      texture, the MIS pmf is recomputed in-register.
+    - "bfloat16"/float32: legacy 32/64-byte rows with stored per-texel
+      pmf columns (RGBE-quantized values are exact in both dtypes).
+    The alias table and the NEE pdf stay f32 in every mode."""
     tex = np.asarray(env.texture, np.float32)
     height, width = tex.shape[:2]
-    pmf = np.asarray(env.alias.pmf, np.float32).reshape(height, width)
     xp = np.minimum(np.arange(width) + 1, width - 1)
     yp = np.minimum(np.arange(height) + 1, height - 1)
-    # One gather row serves a full bilinear fetch AND the pmf of whichever
-    # of its four texels the MIS pdf lookup lands on.
-    quad = np.concatenate(
-        [
-            tex,
-            tex[:, xp],
-            tex[yp],
-            tex[yp][:, xp],
-            pmf[..., None],
-            pmf[:, xp][..., None],
-            pmf[yp][..., None],
-            pmf[yp][:, xp][..., None],
-        ],
-        axis=-1,
-    ).reshape(height * width, 16)
+    if radiance_dtype == "rgbe":
+        rgbe = hdr_io.float_to_rgbe(tex).astype(np.uint32)
+        word = (
+            rgbe[..., 0]
+            | (rgbe[..., 1] << 8)
+            | (rgbe[..., 2] << 16)
+            | (rgbe[..., 3] << 24)
+        )
+        quad = np.stack(
+            [word, word[:, xp], word[yp], word[yp][:, xp]], axis=-1
+        ).reshape(height * width, 4)
+        quad_dev = jnp.asarray(quad, dtype=jnp.uint32)
+    else:
+        pmf = np.asarray(env.alias.pmf, np.float32).reshape(height, width)
+        quad = np.concatenate(
+            [
+                tex,
+                tex[:, xp],
+                tex[yp],
+                tex[yp][:, xp],
+                pmf[..., None],
+                pmf[:, xp][..., None],
+                pmf[yp][..., None],
+                pmf[yp][:, xp][..., None],
+            ],
+            axis=-1,
+        ).reshape(height * width, 16)
+        quad_dev = jnp.asarray(quad, dtype=radiance_dtype)
     # NEE needs pmf of the FINAL index (self or alias) — pack both so the
     # alias decision and its pmf are one 16-byte gather.
     alias_pair = np.stack(
@@ -117,9 +151,13 @@ def device_environment(
     )
     return DeviceEnvironment(
         texture=jnp.asarray(tex),
-        quad=jnp.asarray(quad, dtype=radiance_dtype),
+        quad=quad_dev,
         alias_pair=jnp.asarray(alias_pair),
         alias_pmf=jnp.asarray(env.alias.pmf),
+        pmf_norm=jnp.asarray(
+            [np.float32(height * width), np.float32(env.weight_sum)],
+            dtype=jnp.float32,
+        ),
     )
 
 

@@ -106,6 +106,19 @@ def float_to_rgbe(rgb: np.ndarray) -> np.ndarray:
     return rgbe
 
 
+def rgbe_quantize(rgb: np.ndarray) -> np.ndarray:
+    """Round-trip (H, W, 3) float32 through RGBE (shared-exponent u8).
+
+    The device radiance tables store RGBE words (16-byte quad rows — the
+    gather-rate sweet spot), so the authoritative texture is defined as
+    the RGBE-decoded values. Real ``.hdr`` HDRIs are RGBE-encoded on disk
+    (the reference's own environments are Radiance files,
+    src/state.rs:119-122), so for them this is (near-)lossless; RGBE
+    values are also exactly representable in bfloat16 and float32,
+    keeping every quad storage mode bit-compatible."""
+    return rgbe_to_float(float_to_rgbe(rgb))
+
+
 def write_hdr(path: str, rgb: np.ndarray) -> None:
     """Write (H, W, 3) float32 as an uncompressed Radiance HDR file."""
     height, width = rgb.shape[:2]

@@ -11,6 +11,7 @@ Device constant PI = 3.14159 matches the shader (shader.wgsl:239).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from rsoderh_raytracing_tpu.env.environment import DeviceEnvironment
@@ -18,6 +19,62 @@ from rsoderh_raytracing_tpu.ops import rng
 
 PI = rng.PI_DEVICE
 INV_PI = 1.0 / PI
+
+
+def decode_rgbe(word):
+    """(...,) uint32 RGBE words -> (..., 3) f32 radiance.
+
+    Inverse of hdr_io.float_to_rgbe packing (value = byte * 2^(e-136),
+    e == 0 -> black). The 2^(e-136) scale is built by bit-constructing
+    the f32 exponent field — pure integer VPU ops, no transcendental.
+    float_to_rgbe only emits e == 0 or e >= 22, so the biased exponent
+    (e - 136 + 127) never leaves the normal range for non-black texels.
+    """
+    word = word.astype(jnp.uint32)
+    r = (word & jnp.uint32(0xFF)).astype(jnp.float32)
+    g = ((word >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
+    b = ((word >> 16) & jnp.uint32(0xFF)).astype(jnp.float32)
+    e = (word >> 24).astype(jnp.int32)
+    bits = jnp.clip(e - 136 + 127, 1, 254).astype(jnp.int32) << 23
+    scale = jnp.where(
+        e == 0,
+        0.0,
+        jax.lax.bitcast_convert_type(bits, jnp.float32),
+    )
+    return jnp.stack([r, g, b], axis=-1) * scale[..., None]
+
+
+def _texel_pmf(env: DeviceEnvironment, rgb, py, height: int):
+    """Recompute the alias-table pmf of a texel from its (decoded) f32
+    radiance, replicating alias_table.build_weights_by_luminance /
+    build_alias_table f32 op order: w = lum * sin((y+0.5) * (pi/H));
+    pmf = ((w * L) / Z) / L. The texture is RGBE-quantized at build time
+    so `rgb` here equals the values the alias table was built from.
+
+    Deviation (documented): entries the Vose pairing leaves over keep
+    the reference's identity pmf = 1/L (src/environments.rs:161-183);
+    the recompute yields their true weight-proportional pmf instead —
+    leftovers are mean-weight pixels, so both are ~1/L and the MIS
+    weight difference is O(ulp-of-the-pairing), far below the <1% RMSE
+    acceptance. NEE pdfs still use the STORED pmf (alias_pair row)."""
+    lum = (
+        0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+    )
+    import numpy as np
+
+    # np.pi, NOT the shader's truncated PI_DEVICE: the alias builder
+    # (build_weights_by_luminance) uses np.pi for sin(theta_row).
+    sin_theta = jnp.sin(
+        (py.astype(jnp.float32) + 0.5) * jnp.float32(np.pi / height)
+    )
+    w = lum * sin_theta
+    length = env.pmf_norm[0]
+    total = env.pmf_norm[1]
+    return jnp.where(
+        total > 0.0,
+        ((w * length) / total) / length,
+        1.0 / length,
+    )
 
 
 def direction_to_equirect_uv(direction):
@@ -88,6 +145,42 @@ def bilinear_sample(texture, uv):
     return top * (1.0 - fy) + bottom * fy
 
 
+def _quad_fetch(env: DeviceEnvironment, uv):
+    """Shared quad-row gather: returns (row f32, four texels (N,3) each,
+    fx, fy, x0i, y0i). `row` is None in RGBE mode (no pmf columns)."""
+    height, width = env.texture.shape[0], env.texture.shape[1]
+    x = uv[..., 0] * width - 0.5
+    y = uv[..., 1] * height - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, width - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, height - 1)
+
+    if env.quad.dtype == jnp.uint32:  # RGBE: (L, 4) u32, 16-byte rows
+        words = jnp.take(env.quad, y0i * width + x0i, axis=0)
+        texels = decode_rgbe(words)  # (N, 4, 3)
+        c00, c10, c01, c11 = (
+            texels[..., 0, :],
+            texels[..., 1, :],
+            texels[..., 2, :],
+            texels[..., 3, :],
+        )
+        row = None
+    else:  # legacy (L, 16) bf16/f32: 12 radiance + 4 pmf columns
+        row = jnp.take(env.quad, y0i * width + x0i, axis=0).astype(
+            jnp.float32
+        )
+        c00, c10, c01, c11 = (
+            row[..., 0:3],
+            row[..., 3:6],
+            row[..., 6:9],
+            row[..., 9:12],
+        )
+    return row, c00, c10, c01, c11, fx, fy, x0i, y0i
+
+
 def bilinear_sample_quad(env: DeviceEnvironment, uv):
     """Bilinear fetch as ONE gather from the neighbor-packed quad array.
 
@@ -96,21 +189,7 @@ def bilinear_sample_quad(env: DeviceEnvironment, uv):
     handled by zeroing the fraction (the packed row's +1 neighbors are
     clamped at build time for the right/bottom edges).
     """
-    height, width = env.texture.shape[0], env.texture.shape[1]
-    x = uv[..., 0] * width - 0.5
-    y = uv[..., 1] * height - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
-    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, width - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, height - 1)
-
-    row = jnp.take(env.quad, y0i * width + x0i, axis=0).astype(jnp.float32)
-    c00 = row[..., 0:3]
-    c10 = row[..., 3:6]
-    c01 = row[..., 6:9]
-    c11 = row[..., 9:12]
+    _, c00, c10, c01, c11, fx, fy, _, _ = _quad_fetch(env, uv)
     top = c00 * (1.0 - fx) + c10 * fx
     bottom = c01 * (1.0 - fx) + c11 * fx
     return top * (1.0 - fy) + bottom * fy
@@ -119,34 +198,35 @@ def bilinear_sample_quad(env: DeviceEnvironment, uv):
 def radiance_and_pmf(env: DeviceEnvironment, uv):
     """ONE gather -> (bilinear radiance (N,3), pmf at uv's pixel (N,)).
 
-    The quad row carries the pmf of its four texels; the pixel that
-    `_uv_to_pixel_index(uv)` addresses is always one of them, selected by
-    comparing floor(u*W) with the row's x0 (same for y).
+    The pixel that `_uv_to_pixel_index(uv)` addresses is always one of
+    the row's four texels, selected by comparing floor(u*W) with the
+    row's x0 (same for y). In RGBE mode its pmf is recomputed in-register
+    from the selected texel's radiance (see _texel_pmf); legacy rows
+    carry stored per-texel pmf columns.
     """
     height, width = env.texture.shape[0], env.texture.shape[1]
-    x = uv[..., 0] * width - 0.5
-    y = uv[..., 1] * height - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
-    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, width - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, height - 1)
-
-    row = jnp.take(env.quad, y0i * width + x0i, axis=0).astype(jnp.float32)
-    top = row[..., 0:3] * (1.0 - fx) + row[..., 3:6] * fx
-    bottom = row[..., 6:9] * (1.0 - fx) + row[..., 9:12] * fx
+    row, c00, c10, c01, c11, fx, fy, x0i, y0i = _quad_fetch(env, uv)
+    top = c00 * (1.0 - fx) + c10 * fx
+    bottom = c01 * (1.0 - fx) + c11 * fx
     radiance = top * (1.0 - fy) + bottom * fy
 
     px = jnp.minimum((uv[..., 0] * width).astype(jnp.int32), width - 1)
     py = jnp.minimum((uv[..., 1] * height).astype(jnp.int32), height - 1)
     sel_x = px != x0i
     sel_y = py != y0i
-    pmf = jnp.where(
-        sel_y,
-        jnp.where(sel_x, row[..., 15], row[..., 14]),
-        jnp.where(sel_x, row[..., 13], row[..., 12]),
-    )
+    if row is None:
+        sel = jnp.where(
+            sel_y[..., None],
+            jnp.where(sel_x[..., None], c11, c01),
+            jnp.where(sel_x[..., None], c10, c00),
+        )
+        pmf = _texel_pmf(env, sel, py, height)
+    else:
+        pmf = jnp.where(
+            sel_y,
+            jnp.where(sel_x, row[..., 15], row[..., 14]),
+            jnp.where(sel_x, row[..., 13], row[..., 12]),
+        )
     return radiance, pmf
 
 
