@@ -140,6 +140,36 @@ def closest_hit(scene: DeviceScene, ro, rd) -> HitRecord:
     return _hit_attributes(scene, ro, rd, t, ptype, pidx)
 
 
+def trace_nee(scene: DeviceScene, ro, rd, nee_dir):
+    """Fused per-segment trace for the wavefront integrator: closest hit,
+    shading attributes + material values, and NEE occlusion from the hit
+    point along `nee_dir` — ONE Pallas kernel on TPU (the composed path's
+    winner-attribute gathers and extra kernel boundaries cost ~20 ns/lane
+    at 2048^2, measured), identical values composed from closest_hit /
+    material takes / any_hit elsewhere.
+
+    Returns (did_hit (N,), point (N,3), normal (N,3), color (N,3),
+    roughness (N,), metallic (N,), emission (N,3), occluded (N,))."""
+    if scene.bvh is None and pallas_intersect.fused_supported(scene):
+        return pallas_intersect.fused_trace(scene, ro, rd, nee_dir)
+    hit = closest_hit(scene, ro, rd)
+    color = _take(scene.mat_color, hit.material_id)
+    rough = _take(scene.mat_roughness, hit.material_id)
+    metal = _take(scene.mat_metallic, hit.material_id)
+    emission = _take(scene.mat_emission, hit.material_id)
+    occ = any_hit(scene, hit.point, nee_dir)
+    return (
+        hit.did_hit,
+        hit.point,
+        hit.normal,
+        color,
+        rough,
+        metal,
+        emission,
+        occ,
+    )
+
+
 def any_hit(scene: DeviceScene, ro, rd):
     """True where any primitive blocks the ray. ro, rd: (N,3) -> (N,) bool."""
     if scene.bvh is not None:

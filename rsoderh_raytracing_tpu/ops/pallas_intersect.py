@@ -505,12 +505,13 @@ def _scene_refs(scene):
     )
 
 
-def _ray_tiles(ro, rd):
-    n = ro.shape[0]
+def _ray_tiles(*arrays):
+    """(N,3) arrays -> per-component (rows, LANES) tiles, padded to BLOCK."""
+    n = arrays[0].shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
     pad = n_pad - n
     comps = []
-    for arr in (ro, rd):
+    for arr in arrays:
         for k in range(3):
             c = arr[:, k]
             if pad:
@@ -565,6 +566,248 @@ def closest_sweep(scene, ro, rd):
         scene,
         ro,
         rd,
+    )
+
+
+# -- fused trace: closest hit + attributes + NEE occlusion in ONE kernel ------
+#
+# The wavefront body needs, per iteration: the closest hit, its shading
+# attributes (normal, material values), and the NEE shadow-ray occlusion
+# from the hit point. Composed from separate ops those cost ~20 ns/lane —
+# not in the sweeps (1.4 ns) but in the dozen small-table XLA gathers of
+# the winner-attribute reconstruction and the extra kernel boundaries
+# (measured by ablation at 2048^2). This kernel keeps everything in
+# registers: sweep, winner constants via unrolled SMEM selects (replicating
+# ops/intersect.py::_hit_attributes' select structure exactly, including
+# what miss lanes see), material values via unrolled selects over the
+# material table, then the shadow sweep from the reconstructed hit point.
+
+
+def fused_supported(scene) -> bool:
+    return (
+        pallas_enabled()
+        and scene.bvh is None
+        and _total_prims(scene) <= MAX_UNROLL_PRIMS
+    )
+
+
+def _fused_kernel(n_sph, n_pln, n_tri, n_mat, *args):
+    refs = args[:18]
+    (sph_radius, sph_mat, pln_mat, tri_mat,
+     tri_a, tri_n0, tri_n1, tri_n2,
+     mat_color, mat_rough, mat_metal, mat_emis) = args[18:30]
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     sx_ref, sy_ref, sz_ref) = args[30:39]
+    (hit_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref,
+     cr_ref, cg_ref, cb_ref, rough_ref, metal_ref,
+     er_ref, eg_ref, eb_ref, occ_ref) = args[39:]
+
+    tri_edge0 = refs[11]
+    tri_edge1 = refs[12]
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    best_t, best_type, best_idx = _sweep_body(
+        n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz
+    )
+    did_hit = best_type >= 0
+    t_safe = jnp.where(did_hit, best_t, 0.0)
+    px = ox + dx * t_safe
+    py = oy + dy * t_safe
+    pz = oz + dz * t_safe
+
+    def winner_consts(ptype, table_rows, idx):
+        """Row idx of each (n, 3) SMEM table where best matches, else row
+        0 — the exact semantics of jnp.take(tbl, where(win, idx, 0))."""
+        sel_mask = (best_type == ptype)
+        outs = []
+        for tbl in table_rows:
+            vx = jnp.broadcast_to(tbl[0, 0], ox.shape)
+            vy = jnp.broadcast_to(tbl[0, 1], ox.shape)
+            vz = jnp.broadcast_to(tbl[0, 2], ox.shape)
+            for i in range(1, idx):
+                sel = sel_mask & (best_idx == i)
+                vx = jnp.where(sel, tbl[i, 0], vx)
+                vy = jnp.where(sel, tbl[i, 1], vy)
+                vz = jnp.where(sel, tbl[i, 2], vz)
+            outs.append((vx, vy, vz))
+        return outs
+
+    def winner_scalar(ptype, tbl, idx):
+        sel_mask = (best_type == ptype)
+        v = jnp.broadcast_to(tbl[0], ox.shape)
+        for i in range(1, idx):
+            v = jnp.where(sel_mask & (best_idx == i), tbl[i], v)
+        return v
+
+    # --- sphere normal (ops/geometry.py::sphere_normal) -----------------
+    ((cx, cy, cz),) = winner_consts(0, [refs[0]], n_sph)
+    s_r = winner_scalar(0, sph_radius, n_sph)
+    snx = px - cx
+    sny = py - cy
+    snz = pz - cz
+    inv_len = 1.0 / jnp.sqrt(snx * snx + sny * sny + snz * snz)
+    snx, sny, snz = snx * inv_len, sny * inv_len, snz * inv_len
+    lx, ly, lz = cx - ox, cy - oy, cz - oz
+    inside = (lx * lx + ly * ly + lz * lz) - s_r * s_r < 1.0e-6
+    snx = jnp.where(inside, -snx, snx)
+    sny = jnp.where(inside, -sny, sny)
+    snz = jnp.where(inside, -snz, snz)
+
+    # --- plane normal with the origin-position flip quirk ---------------
+    ((pnx, pny, pnz),) = winner_consts(1, [refs[3]], n_pln)
+    flip = ox * pnx + oy * pny + oz * pnz < 0.0
+    pnx = jnp.where(flip, -pnx, pnx)
+    pny = jnp.where(flip, -pny, pny)
+    pnz = jnp.where(flip, -pnz, pnz)
+
+    # --- triangle normal: naive Moller-Trumbore recompute on the winner
+    # (exactly ops/geometry.py::triangle_hit_attributes) ------------------
+    (a, e0, e1, tn0, tn1, tn2) = winner_consts(
+        2, [tri_a, tri_edge0, tri_edge1, tri_n0, tri_n1, tri_n2], n_tri
+    )
+    rx, ry, rz = ox - a[0], oy - a[1], oz - a[2]
+    p0x = ry * e0[2] - rz * e0[1]
+    p0y = rz * e0[0] - rx * e0[2]
+    p0z = rx * e0[1] - ry * e0[0]
+    p1x = dy * e1[2] - dz * e1[1]
+    p1y = dz * e1[0] - dx * e1[2]
+    p1z = dx * e1[1] - dy * e1[0]
+    det = e0[0] * p1x + e0[1] * p1y + e0[2] * p1z
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < geo.TRI_DET_EPS, 1.0, det)
+    u = (rx * p1x + ry * p1y + rz * p1z) * inv_det
+    v = (dx * p0x + dy * p0y + dz * p0z) * inv_det
+    w0 = 1.0 - u - v
+    tnx = w0 * tn0[0] + u * tn1[0] + v * tn2[0]
+    tny = w0 * tn0[1] + u * tn1[1] + v * tn2[1]
+    tnz = w0 * tn0[2] + u * tn1[2] + v * tn2[2]
+    inv_tn = 1.0 / jnp.maximum(
+        jnp.sqrt(tnx * tnx + tny * tny + tnz * tnz), 1.0e-20
+    )
+    tnx, tny, tnz = tnx * inv_tn, tny * inv_tn, tnz * inv_tn
+    backface = tnx * dx + tny * dy + tnz * dz > 0.0
+    tnx = jnp.where(backface, -tnx, tnx)
+    tny = jnp.where(backface, -tny, tny)
+    tnz = jnp.where(backface, -tnz, tnz)
+
+    is_s = best_type == 0
+    is_p = best_type == 1
+    nx = jnp.where(is_s, snx, jnp.where(is_p, pnx, tnx))
+    ny = jnp.where(is_s, sny, jnp.where(is_p, pny, tny))
+    nz = jnp.where(is_s, snz, jnp.where(is_p, pnz, tnz))
+
+    # --- material id then values (unrolled over the material table) -----
+    m_s = winner_scalar(0, sph_mat, n_sph)
+    m_p = winner_scalar(1, pln_mat, n_pln)
+    m_t = winner_scalar(2, tri_mat, n_tri)
+    mat_id = jnp.where(is_s, m_s, jnp.where(is_p, m_p, m_t))
+
+    cr = jnp.broadcast_to(mat_color[0, 0], ox.shape)
+    cg = jnp.broadcast_to(mat_color[0, 1], ox.shape)
+    cb = jnp.broadcast_to(mat_color[0, 2], ox.shape)
+    rough = jnp.broadcast_to(mat_rough[0], ox.shape)
+    metal = jnp.broadcast_to(mat_metal[0], ox.shape)
+    er = jnp.broadcast_to(mat_emis[0, 0], ox.shape)
+    eg = jnp.broadcast_to(mat_emis[0, 1], ox.shape)
+    eb = jnp.broadcast_to(mat_emis[0, 2], ox.shape)
+    for m in range(1, n_mat):
+        sel = mat_id == m
+        cr = jnp.where(sel, mat_color[m, 0], cr)
+        cg = jnp.where(sel, mat_color[m, 1], cg)
+        cb = jnp.where(sel, mat_color[m, 2], cb)
+        rough = jnp.where(sel, mat_rough[m], rough)
+        metal = jnp.where(sel, mat_metal[m], metal)
+        er = jnp.where(sel, mat_emis[m, 0], er)
+        eg = jnp.where(sel, mat_emis[m, 1], eg)
+        eb = jnp.where(sel, mat_emis[m, 2], eb)
+
+    # --- NEE occlusion: shadow sweep from the hit point ------------------
+    occ_t, _, _ = _sweep_body(
+        n_sph, n_pln, n_tri, refs,
+        px, py, pz, sx_ref[:], sy_ref[:], sz_ref[:],
+    )
+
+    hit_ref[:] = did_hit.astype(jnp.int32)
+    px_ref[:] = px
+    py_ref[:] = py
+    pz_ref[:] = pz
+    nx_ref[:] = nx
+    ny_ref[:] = ny
+    nz_ref[:] = nz
+    cr_ref[:] = cr
+    cg_ref[:] = cg
+    cb_ref[:] = cb
+    rough_ref[:] = rough
+    metal_ref[:] = metal
+    er_ref[:] = er
+    eg_ref[:] = eg
+    eb_ref[:] = eb
+    occ_ref[:] = (occ_t < INF).astype(jnp.int32)
+
+
+def fused_trace(scene, ro, rd, nee_dir):
+    """ONE kernel: closest hit + attributes + materials + NEE occlusion.
+
+    Returns (did_hit (N,) bool, point (N,3), normal (N,3), color (N,3),
+    roughness (N,), metallic (N,), emission (N,3), occluded (N,) bool) —
+    the same values the composed path (ops/intersect.py::closest_hit +
+    material takes + any_hit) produces for hit lanes."""
+    n = ro.shape[0]
+    comps, n_pad = _ray_tiles(ro, rd, nee_dir)
+    rows = n_pad // LANES
+    grid = rows // SUBLANES
+
+    n_sph = scene.sph_radius.shape[0]
+    n_pln = scene.pln_valid.shape[0]
+    n_tri = scene.tri_valid.shape[0]
+    n_mat = scene.mat_roughness.shape[0]
+
+    extras = (
+        scene.sph_radius,
+        scene.sph_material,
+        scene.pln_material,
+        scene.tri_material,
+        scene.tri_a,
+        scene.tri_n0,
+        scene.tri_n1,
+        scene.tri_n2,
+        scene.mat_color,
+        scene.mat_roughness,
+        scene.mat_metallic,
+        scene.mat_emission,
+    )
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_block = pl.BlockSpec(
+        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_dtypes = (
+        [jnp.int32]
+        + [jnp.float32] * 14
+        + [jnp.int32]
+    )
+    outs = tuple(
+        jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dtypes
+    )
+
+    res = pl.pallas_call(
+        partial(_fused_kernel, n_sph, n_pln, n_tri, n_mat),
+        grid=(grid,),
+        in_specs=[smem] * 30 + [ray_block] * 9,
+        out_specs=tuple(ray_block for _ in out_dtypes),
+        out_shape=outs,
+        interpret=_interpret(),
+    )(*_scene_refs(scene), *extras, *comps)
+    flat = [r.reshape(-1)[:n] for r in res]
+    (hit, px, py, pz, nx, ny, nz, cr, cg, cb,
+     rough, metal, er, eg, eb, occ) = flat
+    point = jnp.stack([px, py, pz], axis=-1)
+    normal = jnp.stack([nx, ny, nz], axis=-1)
+    color = jnp.stack([cr, cg, cb], axis=-1)
+    emission = jnp.stack([er, eg, eb], axis=-1)
+    return (
+        hit != 0, point, normal, color, rough, metal, emission, occ != 0
     )
 
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from rsoderh_raytracing_tpu.env.environment import DeviceEnvironment
 from rsoderh_raytracing_tpu.ops import bsdf as bsdf_ops
 from rsoderh_raytracing_tpu.ops import envmap, rng
-from rsoderh_raytracing_tpu.ops.intersect import any_hit, closest_hit
+from rsoderh_raytracing_tpu.ops.intersect import trace_nee
 from rsoderh_raytracing_tpu.render.integrator import MAX_BOUNCES, THROUGHPUT_CUTOFF
 from rsoderh_raytracing_tpu.scene.device import DeviceScene
 
@@ -234,19 +234,34 @@ def wavefront_loop_custom(
         throughput, incoming = c["throughput"], c["incoming"]
         active = c["in_path"]
 
-        hit = closest_hit(scene, ro, rd)
-        is_hit = active & hit.did_hit
-        is_miss = active & ~hit.did_hit
+        # ---- NEE draw first (RNG order per path is unchanged — these
+        # are the same four draws in the same sequence) so the alias
+        # gather and the fused trace kernel have no false dependency.
+        # NEE draws advance every lane, matching the scan/reference
+        # stream for live lanes; dead lanes' draws are never observed.
+        state, _, nee_uv, nee_pmf = envmap.sample_alias_index(state, env)
+        nee_dir = envmap.equirect_uv_to_direction(nee_uv)
+
+        # ---- fused trace: closest hit + attributes + material values +
+        # NEE occlusion from the hit point, one Pallas kernel on TPU.
+        (
+            did_hit,
+            hit_point,
+            hit_normal,
+            mat_color,
+            mat_rough,
+            mat_metal,
+            mat_emission,
+            occluded,
+        ) = trace_nee(scene, ro, rd, nee_dir)
+        is_hit = active & did_hit
+        is_miss = active & ~did_hit
 
         # ---- fused environment fetch --------------------------------
-        # NEE draws (4) advance every lane, matching the scan/reference
-        # stream for live lanes; dead lanes' draws are never observed.
         # Exactly TWO gathers per iteration: the packed alias row (NEE
         # index + its pmf) and the quad row (bilinear radiance + the pmf
         # of the MIS pdf's pixel) at either the NEE uv or the escape uv.
-        state, _, nee_uv, nee_pmf = envmap.sample_alias_index(state, env)
         miss_uv = envmap.direction_to_equirect_uv(rd)
-
         fetch_uv = jnp.where(is_hit[:, None], nee_uv, miss_uv)
         radiance, quad_pmf = envmap.radiance_and_pmf(env, fetch_uv)
         pmf = jnp.where(is_hit, nee_pmf, quad_pmf)
@@ -261,19 +276,14 @@ def wavefront_loop_custom(
 
         # ---- hit: emission + NEE + bounce ----------------------------
         material = bsdf_ops.make_bsdf_material(
-            jnp.take(scene.mat_color, hit.material_id, axis=0),
-            jnp.take(scene.mat_roughness, hit.material_id, axis=0),
-            jnp.take(scene.mat_metallic, hit.material_id, axis=0),
-            jnp.take(scene.mat_emission, hit.material_id, axis=0),
+            mat_color, mat_rough, mat_metal, mat_emission
         )
         incoming = incoming + jnp.where(
             is_hit[:, None], throughput * material.emission, 0.0
         )
 
-        nee_dir = envmap.equirect_uv_to_direction(nee_uv)
-        cos_theta = jnp.maximum(0.0, jnp.sum(hit.normal * nee_dir, axis=-1))
-        occluded = any_hit(scene, hit.point, nee_dir)
-        frame = bsdf_ops.make_frame(hit.normal)
+        cos_theta = jnp.maximum(0.0, jnp.sum(hit_normal * nee_dir, axis=-1))
+        frame = bsdf_ops.make_frame(hit_normal)
         wo = bsdf_ops.to_frame_local(frame, -rd)
         wi = bsdf_ops.to_frame_local(frame, nee_dir)
         nee_scatter = bsdf_ops.bsdf_eval_local(wo, wi, material)
@@ -290,12 +300,12 @@ def wavefront_loop_custom(
             0.0,
         )
 
-        state, sample = bsdf_ops.bsdf_sample(state, rd, hit.normal, material)
+        state, sample = bsdf_ops.bsdf_sample(state, rd, hit_normal, material)
         error_lane = is_hit & sample.zero_direction
         incoming = jnp.where(error_lane[:, None], sample.scattering, incoming)
 
         cos_bounce = jnp.maximum(
-            0.0, jnp.sum(hit.normal * sample.direction, axis=-1)
+            0.0, jnp.sum(hit_normal * sample.direction, axis=-1)
         )
         new_throughput = throughput * sample.scattering * (
             cos_bounce / jnp.maximum(sample.pdf, 1.0e-30)
@@ -325,7 +335,7 @@ def wavefront_loop_custom(
         ro = jnp.where(
             regen[:, None],
             fresh_o,
-            jnp.where(continues[:, None], hit.point, ro),
+            jnp.where(continues[:, None], hit_point, ro),
         )
         rd = jnp.where(
             regen[:, None],

@@ -64,6 +64,83 @@ def test_non_multiple_block_padding(default_scene):
     np.testing.assert_array_equal(ty_p, ty_x)
 
 
+def test_fused_trace_matches_composed():
+    """fused_trace (one kernel: closest hit + attributes + materials +
+    NEE occlusion) returns the composed path's values. Small synthetic
+    scene: the interpreter pays per-op overhead on the unrolled kernel,
+    so the full house scene is validated on hardware instead."""
+    import jax.numpy as jnp
+
+    from rsoderh_raytracing_tpu.ops import intersect, pallas_intersect
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Plane,
+        Scene,
+        Sphere,
+    )
+
+    scene = Scene(
+        materials=[
+            Material((0.8, 0.2, 0.2), 0.4, 0.0, (0, 0, 0)),
+            Material((0.2, 0.8, 0.2), 0.9, 1.0, (0.5, 0, 0)),
+        ],
+        spheres=[
+            Sphere(pos=(0.0, 0.0, -3.0), radius=1.0, material_id=0),
+            Sphere(pos=(2.0, 1.0, -4.0), radius=0.7, material_id=1),
+        ],
+        planes=[
+            Plane(
+                pos=(-4.0, -1.5, -8.0),
+                right=(8.0, 0.0, 0.0),
+                forward=(0.0, 0.0, 8.0),
+                material_id=1,
+            )
+        ],
+        meshes=PackedMeshes.empty(),
+        camera=Camera(pos=[0, 0, 0], yaw=0, pitch=0, fov_y=1.0),
+    )
+    ds = build_device_scene(scene, pad_to=1)
+    assert pallas_intersect.fused_supported(ds)
+
+    ro, rd = _random_rays(700, seed=11)
+    sd = np.random.default_rng(12).normal(size=(700, 3)).astype(np.float32)
+    sd /= np.linalg.norm(sd, axis=-1, keepdims=True)
+
+    hit_f, pt_f, n_f, col_f, rg_f, mt_f, em_f, occ_f = map(
+        np.asarray, pallas_intersect.fused_trace(ds, ro, rd, sd)
+    )
+
+    hit = intersect.closest_hit(ds, ro, rd)
+    occ = intersect.any_hit(ds, hit.point, sd)
+    np.testing.assert_array_equal(hit_f, np.asarray(hit.did_hit))
+    np.testing.assert_array_equal(occ_f, np.asarray(occ))
+    # interpreter-mode XLA fuses the two graphs differently (fma
+    # contraction), so points can differ by ulps; on TPU hardware the
+    # same comparison is exactly equal (validated).
+    np.testing.assert_allclose(
+        pt_f, np.asarray(hit.point), rtol=1e-5, atol=1e-5
+    )
+    mask = hit_f.astype(bool)
+    np.testing.assert_allclose(
+        n_f[mask], np.asarray(hit.normal)[mask], atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        col_f, np.asarray(jnp.take(ds.mat_color, hit.material_id, axis=0))
+    )
+    np.testing.assert_array_equal(
+        rg_f, np.asarray(jnp.take(ds.mat_roughness, hit.material_id, axis=0))
+    )
+    np.testing.assert_array_equal(
+        mt_f, np.asarray(jnp.take(ds.mat_metallic, hit.material_id, axis=0))
+    )
+    np.testing.assert_array_equal(
+        em_f, np.asarray(jnp.take(ds.mat_emission, hit.material_id, axis=0))
+    )
+
+
 def test_budget_gates():
     """Medium scenes use the fori_loop variant; scenes beyond
     MAX_LOOP_PRIMS fall back to XLA."""
