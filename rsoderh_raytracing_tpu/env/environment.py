@@ -197,9 +197,20 @@ def load_default_environments(
             "assets",
             "hdri",
         )
+    def _order(path: str):
+        # The reference loads winter_lake first, passendorf second
+        # (src/state.rs:119-122); keep that order for the known names,
+        # extras after, alphabetically.
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            return (DEFAULT_ENVIRONMENT_NAMES.index(name), name)
+        except ValueError:
+            return (len(DEFAULT_ENVIRONMENT_NAMES), name)
+
     paths = sorted(
         glob.glob(os.path.join(hdri_dir, "*.hdr"))
-        + glob.glob(os.path.join(hdri_dir, "*.npy"))
+        + glob.glob(os.path.join(hdri_dir, "*.npy")),
+        key=_order,
     )
     environments = []
     for path in paths:

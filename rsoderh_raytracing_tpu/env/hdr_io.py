@@ -119,14 +119,60 @@ def rgbe_quantize(rgb: np.ndarray) -> np.ndarray:
     return rgbe_to_float(float_to_rgbe(rgb))
 
 
-def write_hdr(path: str, rgb: np.ndarray) -> None:
-    """Write (H, W, 3) float32 as an uncompressed Radiance HDR file."""
+def _rle_encode_channel(data: np.ndarray) -> bytes:
+    """Adaptive-RLE encode one scanline channel (width u8 values):
+    count>128 = run of (count-128) copies; count<=128 = literal block.
+    Matches the decoder in read_hdr (and the Radiance file format)."""
+    out = bytearray()
+    width = len(data)
+    x = 0
+    while x < width:
+        # Find a run of >= 4 identical bytes (Radiance's break-even).
+        run_start = x
+        while run_start < width:
+            run_len = 1
+            while (
+                run_len < 127
+                and run_start + run_len < width
+                and data[run_start + run_len] == data[run_start]
+            ):
+                run_len += 1
+            if run_len >= 4:
+                break
+            run_start += 1
+        else:
+            run_start = width
+            run_len = 0
+        # Literals up to the run.
+        lit = run_start - x
+        while lit > 0:
+            n = min(lit, 128)
+            out.append(n)
+            out.extend(data[x : x + n].tobytes())
+            x += n
+            lit -= n
+        if run_start < width and run_len >= 4:
+            out.append(128 + run_len)
+            out.append(int(data[run_start]))
+            x = run_start + run_len
+    return bytes(out)
+
+
+def write_hdr(path: str, rgb: np.ndarray, rle: bool = True) -> None:
+    """Write (H, W, 3) float32 as a Radiance HDR file (adaptive RLE by
+    default when the width allows it; flat otherwise)."""
     height, width = rgb.shape[:2]
     rgbe = float_to_rgbe(rgb)
     with open(path, "wb") as f:
         f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
         f.write(f"-Y {height} +X {width}\n".encode())
-        f.write(rgbe.tobytes())
+        if rle and 8 <= width < 32768:
+            for y in range(height):
+                f.write(bytes([2, 2, (width >> 8) & 0xFF, width & 0xFF]))
+                for ch in range(4):
+                    f.write(_rle_encode_channel(rgbe[y, :, ch]))
+        else:
+            f.write(rgbe.tobytes())
 
 
 # -- generic loading ----------------------------------------------------------

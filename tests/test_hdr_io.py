@@ -82,3 +82,44 @@ def test_environment_set_cycling():
     )
     assert envs.next_index(0) == 1
     assert envs.next_index(2) == 0  # wraps (src/camera.rs:271-278)
+
+
+def test_rle_hdr_roundtrip(tmp_path):
+    """The adaptive-RLE writer round-trips exactly through the reader
+    (values land on the RGBE-quantized grid by construction)."""
+    rng = np.random.default_rng(3)
+    img = (rng.random((48, 80, 3)) * 300).astype(np.float32)
+    path = str(tmp_path / "rt.hdr")
+    hdr_io.write_hdr(path, img)
+    back = hdr_io.read_hdr(path)
+    np.testing.assert_array_equal(back, hdr_io.rgbe_quantize(img))
+    # Narrow images fall back to flat scanlines.
+    narrow = img[:, :4]
+    hdr_io.write_hdr(path, narrow)
+    np.testing.assert_array_equal(
+        hdr_io.read_hdr(path), hdr_io.rgbe_quantize(narrow)
+    )
+
+
+def test_default_hdri_assets_load(assets_dir):
+    """assets/hdri ships the two default 2k environments as real Radiance
+    files, loaded in the reference's order (src/state.rs:119-122)."""
+    import os
+
+    from rsoderh_raytracing_tpu.env.environment import (
+        DEFAULT_ENVIRONMENT_NAMES,
+        load_default_environments,
+    )
+
+    hdri_dir = os.path.join(assets_dir, "hdri")
+    assert sorted(os.listdir(hdri_dir)) == [
+        "passendorf_snow_2k.hdr",
+        "winter_lake_01_2k.hdr",
+    ]
+    envs = load_default_environments(hdri_dir)
+    assert [e.name for e in envs.environments] == list(
+        DEFAULT_ENVIRONMENT_NAMES
+    )
+    for env in envs.environments:
+        assert env.texture.shape == (1024, 2048, 3)
+        assert env.texture.max() > 10.0  # a sun exists

@@ -1,0 +1,48 @@
+"""Pixel-matched comparison against the independent numpy transcription
+of the reference shader (scripts/reference_estimator.py).
+
+This is the BASELINE "RMSE vs reference at equal spp" check with the
+numpy WGSL transcription standing in for the unrunnable Rust/wgpu
+binary: both consume the same per-(pixel, sample) RNG streams, so
+Monte-Carlo noise cancels and RMSE measures estimator divergence only.
+Measured at 64x64 x 8spp on the house scene: 0.025% relative RMSE
+(docs/ACCEPTANCE.md); the threshold here is loose against fp-level
+path divergence flukes on other platforms."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)))
+)
+
+
+def test_pixel_matched_rmse_vs_numpy_reference(assets_dir):
+    from scripts.reference_estimator import render as np_render
+
+    from rsoderh_raytracing_tpu import load_scene
+    from rsoderh_raytracing_tpu.env.environment import (
+        load_default_environments,
+    )
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+
+    size, spp = 32, 2
+    scene_path = os.path.join(assets_dir, "scenes", "house.toml")
+    envs = load_default_environments()
+    ref = np_render(scene_path, envs[0], size, size, spp)
+
+    renderer = Renderer(
+        load_scene(scene_path), width=size, height=size, environments=envs
+    )
+    renderer.step_batch(spp)
+    ours = renderer.film.mean_radiance()
+
+    diff = ours - ref
+    rmse = float(np.sqrt((diff**2).mean()))
+    rel = rmse / float(np.sqrt((ref**2).mean()))
+    # Equal-stream comparison: noise cancels; only estimator divergence
+    # (or rare fp-flipped path decisions) remains.
+    assert rel < 0.005, f"pixel-matched relative RMSE {rel:.4%}"
+    assert (np.abs(diff) < 1e-3).mean() > 0.98
