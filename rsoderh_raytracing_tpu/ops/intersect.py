@@ -66,7 +66,12 @@ def _sweep_xla(scene: DeviceScene, ro, rd):
 
 def _sweep_bvh(scene: DeviceScene, ro, rd):
     """(t, type, index) via the flat-BVH traversal (parity path with the
-    reference's cast_ray_bvh node ordering)."""
+    reference's cast_ray_bvh node ordering), plus the reference's linear
+    sphere+plane fallback when the BVH reports a miss
+    (shader.wgsl:576-598 cast_ray) — this covers rays the conservative
+    AABB test rejects (flat boxes hit edge-on produce NaN slab times
+    which WGSL comparisons treat as a miss; see
+    ops/geometry.py:ray_intersects_bounds)."""
     from rsoderh_raytracing_tpu.ops.bvh_traverse import traverse_closest
 
     t, slot = traverse_closest(scene, scene.bvh, ro, rd)
@@ -76,7 +81,27 @@ def _sweep_bvh(scene: DeviceScene, ro, rd):
         hit, jnp.take(scene.bvh.prim_type, slot_safe), -1
     )
     pidx = jnp.take(scene.bvh.prim_index, slot_safe)
-    return jnp.where(hit, t, INF), ptype, pidx
+    t = jnp.where(hit, t, INF)
+
+    # Linear fallback on BVH miss: spheres + planes only, like cast_ray.
+    t_sph = geo.sphere_distances_fast(ro, rd, scene)
+    t_pln = geo.plane_distances_fast(ro, rd, scene)
+    i_sph = jnp.argmin(t_sph, axis=1).astype(jnp.int32)
+    d_sph = jnp.min(t_sph, axis=1)
+    i_pln = jnp.argmin(t_pln, axis=1).astype(jnp.int32)
+    d_pln = jnp.min(t_pln, axis=1)
+    fb_t = jnp.minimum(d_sph, d_pln)
+    fb_type = jnp.where(
+        fb_t < INF, jnp.where(d_sph <= d_pln, 0, 1), -1
+    )
+    fb_idx = jnp.where(d_sph <= d_pln, i_sph, i_pln)
+
+    use_fb = ~hit
+    return (
+        jnp.where(use_fb, fb_t, t),
+        jnp.where(use_fb, fb_type, ptype),
+        jnp.where(use_fb, fb_idx, pidx),
+    )
 
 
 def _sweep(scene: DeviceScene, ro, rd):
@@ -173,8 +198,12 @@ def trace_nee(scene: DeviceScene, ro, rd, nee_dir):
 def any_hit(scene: DeviceScene, ro, rd):
     """True where any primitive blocks the ray. ro, rd: (N,3) -> (N,) bool."""
     if scene.bvh is not None:
-        t, ptype, _ = _sweep_bvh(scene, ro, rd)
-        return ptype >= 0
+        # Occlusion uses cast_ray_bvh ONLY — no linear fallback
+        # (shader.wgsl:1249), unlike closest-hit's cast_ray.
+        from rsoderh_raytracing_tpu.ops.bvh_traverse import traverse_closest
+
+        _, slot = traverse_closest(scene, scene.bvh, ro, rd)
+        return slot >= 0
     if pallas_intersect.sweep_supported(scene):
         return pallas_intersect.any_sweep(scene, ro, rd)
     t_sph = geo.sphere_distances_fast(ro, rd, scene)

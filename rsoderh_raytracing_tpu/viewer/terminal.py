@@ -7,6 +7,12 @@ the progressive render is drawn with ANSI 24-bit half-block characters
 controller contract (src/camera.rs:184-364):
 
 - movement keys (default wasdqe) accelerate/decelerate the fly camera
+- the capture key (default 'c') toggles mouse-look: xterm any-motion
+  reporting (ESC[?1003h + SGR ESC[?1006h) feeds cell deltas to
+  CameraController.add_mouse_delta, mirroring the reference's cursor
+  grab + raw mouse deltas (src/app.rs:149-164, src/camera.rs:253-265)
+- UPPERCASE movement keys move in slow mode (the reference's held
+  Shift, src/camera.rs:285-291 — terminals don't report bare Shift)
 - 'p' prints the base64 camera state (usable with --state, including in
   the reference renderer)
 - 'e' cycles the environment map
@@ -61,6 +67,63 @@ def _render_ansi(image: np.ndarray, max_cols: int, max_rows: int) -> str:
     return "\n".join(lines)
 
 
+# One text cell covers ~(8, 16) window pixels; mouse deltas arrive in
+# cells and are scaled so the reference's 0.25 degrees/pixel sensitivity
+# feels comparable (a 10-cell swipe turns ~20 degrees).
+CELL_PIXELS = (8.0, 16.0)
+
+_SGR_MOUSE = b"\x1b[<"
+
+
+def parse_input(buf: bytes):
+    """Split an input byte buffer into events.
+
+    Returns (events, remainder): each event is ("key", char) or
+    ("mouse", button_code, col, row, is_press). Incomplete escape
+    sequences stay in the remainder; unrecognized ESC sequences are
+    dropped whole so arrow keys etc. never leak as letter keys."""
+    events = []
+    i = 0
+    n = len(buf)
+    while i < n:
+        b = buf[i]
+        if b != 0x1B:
+            events.append(("key", chr(b)))
+            i += 1
+            continue
+        # ESC sequence. SGR mouse: ESC [ < b ; x ; y (M|m)
+        if buf[i : i + 3] == _SGR_MOUSE:
+            j = i + 3
+            while j < n and buf[j : j + 1] not in (b"M", b"m"):
+                j += 1
+            if j >= n:
+                break  # incomplete: keep for the next read
+            try:
+                code, col, row = (
+                    int(v) for v in buf[i + 3 : j].split(b";")
+                )
+                events.append(
+                    ("mouse", code, col, row, buf[j : j + 1] == b"M")
+                )
+            except ValueError:
+                pass
+            i = j + 1
+            continue
+        if i + 1 < n and buf[i + 1 : i + 2] == b"[":
+            # CSI sequence: consume through its final byte (0x40-0x7E).
+            j = i + 2
+            while j < n and not (0x40 <= buf[j] <= 0x7E):
+                j += 1
+            if j >= n:
+                break
+            i = j + 1
+            continue
+        if i + 1 >= n:
+            break
+        i += 2  # ESC + one char: drop
+    return events, buf[i:]
+
+
 def run_viewer(
     scene,
     layout,
@@ -108,31 +171,67 @@ def run_viewer(
     fd = sys.stdin.fileno()
     old_attrs = termios.tcgetattr(fd)
     dev_index = 1
+    captured = False
+    last_cell = None
+    pending = b""
+    slow_hold = 0.0
+
+    def set_capture(on: bool) -> None:
+        nonlocal captured, last_cell
+        captured = on
+        last_cell = None
+        # Any-motion tracking + SGR extended coordinates — the terminal
+        # analog of the reference's cursor grab (src/camera.rs:253-265).
+        sys.stdout.write(
+            "\x1b[?1003h\x1b[?1006h" if on else "\x1b[?1003l\x1b[?1006l"
+        )
+        sys.stdout.flush()
+
     try:
         tty.setcbreak(fd)
         sys.stdout.write("\x1b[2J")  # clear
         last = time.monotonic()
         while True:
-            # Drain pending keys.
+            # Drain pending input (keys + SGR mouse reports).
             while select.select([sys.stdin], [], [], 0)[0]:
-                ch = sys.stdin.read(1).lower()
-                if ch == "q" or ch == "\x03":
-                    return 0
-                if ch in key_to_action:
-                    hold[key_to_action[ch]] = HOLD_SECS
-                elif ch == layout.print_camera_state:
-                    sys.stdout.write("\x1b[2J\x1b[H")
-                    print(renderer.camera)
-                    print(
-                        "state: (for use with --state)\n "
-                        f" {renderer.camera.serialize()}"
-                    )
-                    print("press any key to continue...")
-                    sys.stdin.read(1)
-                elif ch == layout.next_environment:
-                    renderer.next_environment()
-                elif ch.isdigit():
-                    dev_index = int(ch)
+                chunk = os.read(fd, 4096)
+                if not chunk:
+                    break
+                events, pending = parse_input(pending + chunk)
+                for ev in events:
+                    if ev[0] == "mouse":
+                        _, code, col, row, _press = ev
+                        is_motion_or_drag = bool(code & 32) or code < 3
+                        if captured and is_motion_or_drag:
+                            if last_cell is not None:
+                                dx = (col - last_cell[0]) * CELL_PIXELS[0]
+                                dy = (row - last_cell[1]) * CELL_PIXELS[1]
+                                controller.add_mouse_delta(dx, dy)
+                            last_cell = (col, row)
+                        continue
+                    raw = ev[1]
+                    ch = raw.lower()
+                    if ch == "q" or ch == "\x03":
+                        return 0
+                    if ch in key_to_action:
+                        hold[key_to_action[ch]] = HOLD_SECS
+                        if raw.isupper():  # Shift held: slow mode
+                            slow_hold = HOLD_SECS
+                    elif ch == layout.capture_mouse:
+                        set_capture(not captured)
+                    elif ch == layout.print_camera_state:
+                        sys.stdout.write("\x1b[2J\x1b[H")
+                        print(renderer.camera)
+                        print(
+                            "state: (for use with --state)\n "
+                            f" {renderer.camera.serialize()}"
+                        )
+                        print("press any key to continue...")
+                        sys.stdin.read(1)
+                    elif ch == layout.next_environment:
+                        renderer.next_environment()
+                    elif ch.isdigit():
+                        dev_index = int(ch)
 
             now = time.monotonic()
             dt = min(now - last, 0.1)
@@ -140,6 +239,8 @@ def run_viewer(
             for name in hold:
                 hold[name] = max(0.0, hold[name] - dt)
                 controller.set_key(name, hold[name] > 0.0)
+            slow_hold = max(0.0, slow_hold - dt)
+            controller.set_key("slow", slow_hold > 0.0)
             renderer.camera = controller.update(renderer.camera, dt)
 
             if dev_index == 2:
@@ -161,7 +262,9 @@ def run_viewer(
             sys.stdout.write(
                 f"\x1b[0m\n{renderer.width}x{renderer.height} "
                 f"spp={count} env={renderer.environment_index} "
-                f"dev={dev_index} [q quit, p state, e env]\x1b[K"
+                f"dev={dev_index} mouse={'on' if captured else 'off'}"
+                f" [q quit, p state, e env, {layout.capture_mouse} mouse]"
+                "\x1b[K"
             )
             sys.stdout.flush()
 
@@ -169,6 +272,8 @@ def run_viewer(
             if budget > 0:
                 time.sleep(budget)
     finally:
+        if captured:
+            sys.stdout.write("\x1b[?1003l\x1b[?1006l")
         termios.tcsetattr(fd, termios.TCSADRAIN, old_attrs)
         sys.stdout.write("\x1b[0m\n")
     return 0

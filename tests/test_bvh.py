@@ -191,3 +191,63 @@ def test_renderer_bvh_intersector(house_scene):
     assert np.isfinite(img).all()
     with pytest.raises(ValueError, match="unknown intersector"):
         Renderer(house_scene, intersector="nope")
+
+
+def test_bvh_miss_linear_fallback_adversarial():
+    """cast_ray's sphere+plane fallback after a BVH miss
+    (shader.wgsl:576-598): axis-parallel rays against an axis-aligned
+    plane (a FLAT AABB) produce NaN slab times that reject the node in
+    the reference AABB semantics — the linear fallback must still hit.
+    Property: the BVH intersector equals the dense sweep for
+    sphere/plane scenes even on these adversarial rays."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import intersect
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Plane,
+        Scene,
+        Sphere,
+    )
+
+    scene = Scene(
+        materials=[Material((1, 1, 1), 1, 0, (0, 0, 0))],
+        spheres=[Sphere(pos=(3.0, 0.0, 0.0), radius=0.5, material_id=0)],
+        planes=[
+            # Horizontal unit square at y=0: a zero-thickness AABB.
+            Plane(
+                pos=(-0.5, 0.0, -0.5),
+                right=(1.0, 0.0, 0.0),
+                forward=(0.0, 0.0, 1.0),
+                material_id=0,
+            )
+        ],
+        meshes=PackedMeshes.empty(),
+        camera=Camera(pos=[0, 0, 0], yaw=0, pitch=0, fov_y=1.0),
+    )
+    ds_bvh = build_device_scene(scene, with_bvh=True)
+    ds_sweep = build_device_scene(scene)
+
+    rng = np.random.default_rng(0)
+    n = 256
+    ro = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    # Adversarial block: rays EXACTLY parallel to the flat plane's AABB,
+    # passing through it (origin y inside the slab).
+    ro[:64, 1] = 0.0
+    rd[:64, 1] = 0.0
+    # Adversarial block: straight down onto the plane (single-axis rays).
+    ro[64:128] = np.array([0.1, 1.0, 0.1], np.float32)
+    rd[64:128] = np.array([0.0, -1.0, 0.0], np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    t_b, ty_b, ix_b = map(np.asarray, intersect._sweep_bvh(ds_bvh, ro, rd))
+    t_s, ty_s, ix_s = map(np.asarray, intersect._sweep_xla(ds_sweep, ro, rd))
+    np.testing.assert_array_equal(ty_b, ty_s)
+    hit = ty_s >= 0
+    assert hit[64:128].all(), "downward rays must hit the flat plane"
+    np.testing.assert_array_equal(ix_b[hit], ix_s[hit])
+    np.testing.assert_allclose(t_b[hit], t_s[hit], rtol=1e-6)

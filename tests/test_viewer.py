@@ -39,6 +39,26 @@ def test_render_ansi_zero_terminal_size():
     assert "▀" in frame
 
 
+def test_parse_input_events():
+    from rsoderh_raytracing_tpu.viewer.terminal import parse_input
+
+    # keys + SGR mouse + incomplete tail stays pending
+    events, rest = parse_input(b"wA\x1b[<35;10;12M\x1b[<35;2")
+    assert events == [
+        ("key", "w"),
+        ("key", "A"),
+        ("mouse", 35, 10, 12, True),
+    ]
+    assert rest == b"\x1b[<35;2"
+    events, rest = parse_input(rest + b"0;14Mq")
+    assert events == [("mouse", 35, 20, 14, True), ("key", "q")]
+    assert rest == b""
+    # unrelated CSI sequences (arrow keys) are swallowed whole
+    events, rest = parse_input(b"\x1b[Aw")
+    assert events == [("key", "w")]
+    assert rest == b""
+
+
 def test_viewer_non_tty_refuses(default_scene, capsys):
     from rsoderh_raytracing_tpu.scene.camera import KeyboardLayout
     from rsoderh_raytracing_tpu.viewer.terminal import run_viewer
@@ -79,7 +99,7 @@ def test_viewer_pty_end_to_end(assets_dir):
     os.close(slave)
 
     out = b""
-    sent_p = sent_cont = sent_q = False
+    sent_p = sent_cont = sent_mouse = sent_p2 = sent_cont2 = sent_q = False
     deadline = time.time() + 240
     try:
         while time.time() < deadline:
@@ -99,7 +119,27 @@ def test_viewer_pty_end_to_end(assets_dir):
             if sent_p and not sent_cont and b"for use with --state" in out:
                 os.write(master, b" ")
                 sent_cont = True
-            if sent_cont and not sent_q:
+            if sent_cont and not sent_mouse:
+                time.sleep(0.5)
+                # Toggle mouse capture ('c'), then stream SGR any-motion
+                # reports — a horizontal swipe that must change yaw.
+                os.write(
+                    master,
+                    b"c\x1b[<35;10;10M\x1b[<35;14;10M\x1b[<35;20;10M",
+                )
+                sent_mouse = True
+            if sent_mouse and not sent_p2:
+                time.sleep(0.5)
+                os.write(master, b"p")
+                sent_p2 = True
+            if (
+                sent_p2
+                and not sent_cont2
+                and out.count(b"for use with --state") >= 2
+            ):
+                os.write(master, b" ")
+                sent_cont2 = True
+            if sent_cont2 and not sent_q:
                 time.sleep(1.0)
                 os.write(master, b"q")
                 sent_q = True
@@ -117,3 +157,9 @@ def test_viewer_pty_end_to_end(assets_dir):
     spps = [int(x) for x in re.findall(rb"spp=(\d+)", out)]
     assert spps and spps[-1] >= 1, "progressive spp counter missing"
     assert sent_p and b"for use with --state" in out, "p key state print"
+    # Mouse-look: the two printed camera states must differ (the swipe
+    # turned the camera), and mouse reporting was enabled on capture.
+    assert b"\x1b[?1003h" in out, "capture toggle enables mouse reporting"
+    states = re.findall(rb"for use with --state[^\n]*\n\s*(\S+)", out)
+    assert len(states) >= 2, f"expected two state prints: {out[-400:]!r}"
+    assert states[0] != states[1], "mouse swipe did not move the camera"
