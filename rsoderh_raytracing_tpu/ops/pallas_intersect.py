@@ -591,22 +591,19 @@ def fused_supported(scene) -> bool:
     )
 
 
-def _fused_kernel(n_sph, n_pln, n_tri, n_mat, *args):
-    refs = args[:18]
+def trace_attrs_body(
+    n_sph, n_pln, n_tri, n_mat, refs, extras,
+    ox, oy, oz, dx, dy, dz, sx, sy, sz,
+):
+    """Shared in-kernel body: closest sweep + winner attributes +
+    material values + NEE-occlusion shadow sweep. All inputs/outputs are
+    (SUBLANES, LANES) tiles; returns a dict (see the end)."""
     (sph_radius, sph_mat, pln_mat, tri_mat,
      tri_a, tri_n0, tri_n1, tri_n2,
-     mat_color, mat_rough, mat_metal, mat_emis) = args[18:30]
-    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-     sx_ref, sy_ref, sz_ref) = args[30:39]
-    (hit_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref,
-     cr_ref, cg_ref, cb_ref, rough_ref, metal_ref,
-     er_ref, eg_ref, eb_ref, occ_ref) = args[39:]
+     mat_color, mat_rough, mat_metal, mat_emis) = extras
 
     tri_edge0 = refs[11]
     tri_edge1 = refs[12]
-
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
     best_t, best_type, best_idx = _sweep_body(
         n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz
@@ -725,25 +722,51 @@ def _fused_kernel(n_sph, n_pln, n_tri, n_mat, *args):
     # --- NEE occlusion: shadow sweep from the hit point ------------------
     occ_t, _, _ = _sweep_body(
         n_sph, n_pln, n_tri, refs,
-        px, py, pz, sx_ref[:], sy_ref[:], sz_ref[:],
+        px, py, pz, sx, sy, sz,
     )
 
-    hit_ref[:] = did_hit.astype(jnp.int32)
-    px_ref[:] = px
-    py_ref[:] = py
-    pz_ref[:] = pz
-    nx_ref[:] = nx
-    ny_ref[:] = ny
-    nz_ref[:] = nz
-    cr_ref[:] = cr
-    cg_ref[:] = cg
-    cb_ref[:] = cb
-    rough_ref[:] = rough
-    metal_ref[:] = metal
-    er_ref[:] = er
-    eg_ref[:] = eg
-    eb_ref[:] = eb
-    occ_ref[:] = (occ_t < INF).astype(jnp.int32)
+    return dict(
+        did_hit=did_hit,
+        px=px, py=py, pz=pz,
+        nx=nx, ny=ny, nz=nz,
+        cr=cr, cg=cg, cb=cb,
+        rough=rough, metal=metal,
+        er=er, eg=eg, eb=eb,
+        occ=occ_t < INF,
+    )
+
+
+def _fused_kernel(n_sph, n_pln, n_tri, n_mat, *args):
+    refs = args[:18]
+    extras = args[18:30]
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     sx_ref, sy_ref, sz_ref) = args[30:39]
+    (hit_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref,
+     cr_ref, cg_ref, cb_ref, rough_ref, metal_ref,
+     er_ref, eg_ref, eb_ref, occ_ref) = args[39:]
+
+    a = trace_attrs_body(
+        n_sph, n_pln, n_tri, n_mat, refs, extras,
+        ox_ref[:], oy_ref[:], oz_ref[:],
+        dx_ref[:], dy_ref[:], dz_ref[:],
+        sx_ref[:], sy_ref[:], sz_ref[:],
+    )
+    hit_ref[:] = a["did_hit"].astype(jnp.int32)
+    px_ref[:] = a["px"]
+    py_ref[:] = a["py"]
+    pz_ref[:] = a["pz"]
+    nx_ref[:] = a["nx"]
+    ny_ref[:] = a["ny"]
+    nz_ref[:] = a["nz"]
+    cr_ref[:] = a["cr"]
+    cg_ref[:] = a["cg"]
+    cb_ref[:] = a["cb"]
+    rough_ref[:] = a["rough"]
+    metal_ref[:] = a["metal"]
+    er_ref[:] = a["er"]
+    eg_ref[:] = a["eg"]
+    eb_ref[:] = a["eb"]
+    occ_ref[:] = a["occ"].astype(jnp.int32)
 
 
 def fused_trace(scene, ro, rd, nee_dir):

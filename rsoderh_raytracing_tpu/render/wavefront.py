@@ -198,6 +198,14 @@ def wavefront_loop_custom(
     spp = jnp.asarray(spp, jnp.uint32)
     iteration_budget = jnp.asarray(iteration_budget, jnp.uint32)
 
+    from rsoderh_raytracing_tpu.ops import pallas_wavefront
+
+    if pallas_wavefront.supported(scene) and env.quad.dtype == jnp.uint32:
+        return _kernel_loop(
+            scene, env, camera, pixel_index, pixel_x, pixel_y, resolution,
+            base_sample, sample_map, spp, iteration_budget, max_bounces,
+        )
+
     env_h, env_w = env.texture.shape[0], env.texture.shape[1]
 
     def start_path(sample_idx):
@@ -378,3 +386,160 @@ def wavefront_loop_custom(
         "iterations": final["it"],
     }
     return final["film"], final["sample"], stats
+
+
+def _kernel_loop(
+    scene,
+    env,
+    camera,
+    pixel_index,
+    pixel_x,
+    pixel_y,
+    resolution,
+    base_sample,
+    sample_map,
+    spp,
+    iteration_budget,
+    max_bounces,
+):
+    """The two-Pallas-kernel body (ops/pallas_wavefront.py): XLA keeps
+    only the alias/quad gathers and the atan2/asin uv math. Identical
+    estimator and RNG streams to the composed body above (the kernels
+    replicate every formula; in-kernel RNG is bitwise-equal)."""
+    from rsoderh_raytracing_tpu.ops import pallas_wavefront as pwf
+
+    width, height = resolution
+    n = pixel_index.shape[0]
+    env_h, env_w = env.texture.shape[0], env.texture.shape[1]
+    lanes = pwf.LANES
+    block = pwf.SUBLANES * lanes
+    n_pad = -(-n // block) * block
+    rows = n_pad // lanes
+
+    def tile(arr, fill=0):
+        arr = jnp.asarray(arr)
+        if n_pad != n:
+            arr = jnp.concatenate(
+                [arr, jnp.full((n_pad - n,), fill, arr.dtype)]
+            )
+        return arr.reshape(rows, lanes)
+
+    # Affine probe of sample_map (identity or local*stride+offset — the
+    # only forms used; see parallel/sharding.py).
+    map_offset = jnp.asarray(sample_map(jnp.uint32(0)), jnp.uint32)
+    map_stride = (
+        jnp.asarray(sample_map(jnp.uint32(1)), jnp.uint32) - map_offset
+    )
+
+    # XLA prologue: initial paths (same start_path as the composed body).
+    state0 = rng.seed(pixel_index, sample_map(base_sample))
+    state0, o0, d0 = _camera_rays(
+        state0, pixel_x, pixel_y, camera, resolution
+    )
+
+    scal = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    jnp.sin(camera["fov_y"] / 2.0),
+                    jnp.float32(width / height),
+                ]
+            ),
+            camera["pos"].astype(jnp.float32),
+            camera["rot"].astype(jnp.float32).reshape(9),
+            env.pmf_norm.astype(jnp.float32),
+        ]
+    )
+
+    carry0 = dict(
+        state=tile(state0),
+        ro0=tile(o0[:, 0]), ro1=tile(o0[:, 1]), ro2=tile(o0[:, 2]),
+        rd0=tile(d0[:, 0]), rd1=tile(d0[:, 1]), rd2=tile(d0[:, 2], 1.0),
+        tp0=tile(jnp.ones(n)), tp1=tile(jnp.ones(n)), tp2=tile(jnp.ones(n)),
+        inc0=tile(jnp.zeros(n)), inc1=tile(jnp.zeros(n)),
+        inc2=tile(jnp.zeros(n)),
+        last_pdf=tile(jnp.ones(n)),
+        bounce=tile(jnp.zeros(n, jnp.int32)),
+        sample=tile(jnp.zeros(n, jnp.uint32)),
+        in_path=tile(jnp.ones(n, jnp.int32)),
+        film0=tile(jnp.zeros(n)), film1=tile(jnp.zeros(n)),
+        film2=tile(jnp.zeros(n)),
+    )
+    loop0 = dict(
+        carry=carry0,
+        it=jnp.uint32(0),
+        closest=jnp.float32(0.0),
+        shadow=jnp.float32(0.0),
+    )
+    pixidx_t = tile(pixel_index)
+    pixx_t = tile(pixel_x)
+    pixy_t = tile(pixel_y)
+    base_t = tile(base_sample)
+
+    def cond(lc):
+        return jnp.any(lc["carry"]["in_path"] != 0)
+
+    def body(lc):
+        c = lc["carry"]
+        # XLA: NEE alias draw + uv/direction math (gather + atan2/asin).
+        state, _, nee_uv, nee_pmf = envmap.sample_alias_index(
+            c["state"], env
+        )
+        nd = envmap.equirect_uv_to_direction(nee_uv)
+        # direction_to_equirect_uv, componentwise (ops/envmap.py).
+        mu = (
+            jnp.arctan2(c["rd2"], c["rd0"]) * (envmap.INV_PI * 0.5) + 0.5
+        )
+        mv = (
+            0.5 - jnp.arcsin(jnp.clip(c["rd1"], -1.0, 1.0)) * envmap.INV_PI
+        )
+
+        tr = pwf.trace_call(
+            scene, env_w, env_h,
+            (c["ro0"], c["ro1"], c["ro2"]),
+            (c["rd0"], c["rd1"], c["rd2"]),
+            (nd[..., 0], nd[..., 1], nd[..., 2]),
+            (nee_uv[..., 0], nee_uv[..., 1]),
+            (mu, mv),
+            state,
+        )
+        qw = jnp.take(env.quad, tr["qidx"], axis=0)
+        iscal = jnp.stack(
+            [
+                lc["it"] + jnp.uint32(1),
+                spp,
+                iteration_budget,
+                map_stride,
+                map_offset,
+            ]
+        ).astype(jnp.uint32)
+        new_carry, act, hitm = pwf.shade_call(
+            env_w, env_h, width, height, max_bounces,
+            (qw[..., 0], qw[..., 1], qw[..., 2], qw[..., 3]),
+            tr, nee_pmf, c, pixidx_t, pixx_t, pixy_t, base_t,
+            scal, iscal,
+        )
+        return dict(
+            carry=new_carry,
+            it=lc["it"] + jnp.uint32(1),
+            closest=lc["closest"] + jnp.sum(act.astype(jnp.float32)),
+            shadow=lc["shadow"] + jnp.sum(hitm.astype(jnp.float32)),
+        )
+
+    final = jax.lax.while_loop(cond, body, loop0)
+    c = final["carry"]
+    film = jnp.stack(
+        [
+            c["film0"].reshape(-1)[:n],
+            c["film1"].reshape(-1)[:n],
+            c["film2"].reshape(-1)[:n],
+        ],
+        axis=-1,
+    )
+    counts = c["sample"].reshape(-1)[:n]
+    stats = {
+        "closest_rays": final["closest"],
+        "shadow_rays": final["shadow"],
+        "iterations": final["it"],
+    }
+    return film, counts, stats
