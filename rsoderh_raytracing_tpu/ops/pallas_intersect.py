@@ -342,11 +342,16 @@ def _chunked_closest_kernel(n_sph, n_pln, *args):
     """Grid (ray_blocks, tri_chunks): out blocks are revisited across the
     chunk axis (innermost), accumulating the closest hit; spheres+planes
     run once at chunk 0. Triangle constants arrive as SMEM windows of
-    TRI_CHUNK rows — a few KB regardless of scene size."""
-    small_refs = args[:10]
-    tri_refs = args[10:18]
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[18:24]
-    t_ref, type_ref, idx_ref = args[24:]
+    TRI_CHUNK rows — a few KB regardless of scene size. Each chunk is
+    guarded by a CONSERVATIVE chunk-AABB slab test: if no ray in the
+    tile can touch the chunk's bounds, its 64-triangle loop is skipped
+    entirely (NaN slab times count as hits, so the cull never drops a
+    triangle the dense sweep would find)."""
+    bounds_ref = args[0]
+    small_refs = args[1:11]
+    tri_refs = args[11:19]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[19:25]
+    t_ref, type_ref, idx_ref = args[25:]
 
     (
         tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
@@ -368,48 +373,73 @@ def _chunked_closest_kernel(n_sph, n_pln, *args):
         type_ref[:] = best_type
         idx_ref[:] = best_idx
 
-    best_t = t_ref[:]
-    best_type = type_ref[:]
-    best_idx = idx_ref[:]
+    # Conservative slab test (NaN -> hit, no t_max): any lane touching?
+    def axis_slab(o, d, lo, hi):
+        inv = 1.0 / d  # +-inf on axis-parallel rays
+        near = (lo - o) * inv
+        far = (hi - o) * inv
+        t_lo = jnp.minimum(near, far)
+        t_hi = jnp.maximum(near, far)
+        # NaN (0 * inf) -> the axis imposes no constraint.
+        t_lo = jnp.where(jnp.isnan(t_lo), -INF, t_lo)
+        t_hi = jnp.where(jnp.isnan(t_hi), INF, t_hi)
+        return t_lo, t_hi
 
-    mx = oy * dz - oz * dy
-    my = oz * dx - ox * dz
-    mz = ox * dy - oy * dx
-    base = j * TRI_CHUNK
+    l0, h0 = axis_slab(ox, dx, bounds_ref[j, 0], bounds_ref[j, 3])
+    l1, h1 = axis_slab(oy, dy, bounds_ref[j, 1], bounds_ref[j, 4])
+    l2, h2 = axis_slab(oz, dz, bounds_ref[j, 2], bounds_ref[j, 5])
+    t0 = jnp.maximum(jnp.maximum(l0, l1), jnp.maximum(l2, 0.0))
+    t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
+    chunk_live = jnp.any(t0 <= t1)
 
-    for i in range(TRI_CHUNK):
-        det = dx * tri_cdet[i, 0] + dy * tri_cdet[i, 1] + dz * tri_cdet[i, 2]
-        ok = jnp.abs(det) >= geo.TRI_DET_EPS
-        inv = 1.0 / jnp.where(ok, det, 1.0)
-        u = (
-            (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
-            + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
-        ) * inv
-        v = -(
-            (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
-            + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
-        ) * inv
-        t = (
-            (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
-            - tri_adotn[i, 0]
-        ) * inv
-        hit = (
-            ok
-            & (u >= 0.0)
-            & (u <= 1.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t >= geo.TRI_T_EPS)
-            & (tri_valid[i, 0] > 0)
-        )
-        better = hit & (t < best_t)
-        best_t = jnp.where(better, t, best_t)
-        best_type = jnp.where(better, 2, best_type)
-        best_idx = jnp.where(better, base + i, best_idx)
+    @pl.when(chunk_live)
+    def _():
+        best_t = t_ref[:]
+        best_type = type_ref[:]
+        best_idx = idx_ref[:]
 
-    t_ref[:] = best_t
-    type_ref[:] = best_type
-    idx_ref[:] = best_idx
+        mx = oy * dz - oz * dy
+        my = oz * dx - ox * dz
+        mz = ox * dy - oy * dx
+        base = j * TRI_CHUNK
+
+        for i in range(TRI_CHUNK):
+            det = (
+                dx * tri_cdet[i, 0]
+                + dy * tri_cdet[i, 1]
+                + dz * tri_cdet[i, 2]
+            )
+            ok = jnp.abs(det) >= geo.TRI_DET_EPS
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            u = (
+                (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
+                + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
+            ) * inv
+            v = -(
+                (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
+                + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
+            ) * inv
+            t = (
+                (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
+                - tri_adotn[i, 0]
+            ) * inv
+            hit = (
+                ok
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t >= geo.TRI_T_EPS)
+                & (tri_valid[i, 0] > 0)
+            )
+            better = hit & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_type = jnp.where(better, 2, best_type)
+            best_idx = jnp.where(better, base + i, best_idx)
+
+        t_ref[:] = best_t
+        type_ref[:] = best_type
+        idx_ref[:] = best_idx
 
 
 def _chunked_call(scene, ro, rd):
@@ -431,7 +461,21 @@ def _chunked_call(scene, ro, rd):
         arr if arr.ndim == 2 else arr.reshape(-1, 1) for arr in refs[10:]
     )
 
+    # Per-chunk AABB (slightly inflated for fp safety): min/max over the
+    # chunk's triangle vertices (a, a+e0, a+e1). Cheap jit-cached XLA.
+    va = scene.tri_a
+    vb = scene.tri_a + scene.tri_edge0
+    vc = scene.tri_a + scene.tri_edge1
+    # Padded (invalid) triangles are all-zero: their vertices collapse to
+    # the origin, which only ever ENLARGES a chunk's bounds (conservative).
+    pts = jnp.stack([va, vb, vc], axis=1).reshape(n_chunks, TRI_CHUNK * 3, 3)
+    cmin = jnp.min(pts, axis=1)
+    cmax = jnp.max(pts, axis=1)
+    eps = (cmax - cmin) * 1.0e-5 + 1.0e-5
+    chunk_bounds = jnp.concatenate([cmin - eps, cmax + eps], axis=-1)
+
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
+    bounds_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # full, row j read in-kernel
     tri_specs = [
         pl.BlockSpec(
             (TRI_CHUNK, arr.shape[1]),
@@ -450,7 +494,7 @@ def _chunked_call(scene, ro, rd):
     t, ptype, pidx = pl.pallas_call(
         partial(_chunked_closest_kernel, n_sph, n_pln),
         grid=(grid_rays, n_chunks),
-        in_specs=[smem_full] * 10 + tri_specs + [ray_block] * 6,
+        in_specs=[bounds_spec] + [smem_full] * 10 + tri_specs + [ray_block] * 6,
         out_specs=(out_block, out_block, out_block),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -458,7 +502,7 @@ def _chunked_call(scene, ro, rd):
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
         interpret=_interpret(),
-    )(*small_refs, *tri_arrays, *comps)
+    )(chunk_bounds, *small_refs, *tri_arrays, *comps)
     return (
         t.reshape(-1)[:n],
         ptype.reshape(-1)[:n],
