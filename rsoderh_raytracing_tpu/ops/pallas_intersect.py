@@ -12,8 +12,9 @@ sweep a hard kernel boundary with the ideal schedule:
   each primitive is a set of scalar broadcasts against the ray tiles
   (pure VPU FMAs — the (N, P) matrix never exists anywhere),
 - closest-hit tracks (best_t, best_type, best_index) with elementwise
-  mins; attribute reconstruction (normals, materials) stays outside in
-  XLA where the winner gathers are cheap small-table lookups.
+  mins; winner attributes (normals, materials) are reconstructed
+  IN-KERNEL via unrolled SMEM selects (trace_attrs_body) — the XLA
+  small-table winner gathers they replace cost ~20 ns/lane at 2048^2.
 
 Math and epsilons are identical to ops/geometry.py::*_fast (the
 expanded triple-product forms).

@@ -218,24 +218,43 @@ class Renderer:
 
     # -- dev debug views (reference shader.wgsl:1314-1338) ------------------
 
-    def debug_alias_scatter(self, draws_per_pixel: int = 20) -> np.ndarray:
-        """dev_index == 2: scatter-plot the alias-table distribution —
-        draw from the active environment's alias table and build a
-        brightness histogram over the env image (each draw adds 0.1/n,
-        like the reference's additive texture stores)."""
+    def debug_alias_scatter(
+        self, draws_per_pixel: int = 20, sample_index: int = 0
+    ) -> np.ndarray:
+        """dev_index == 2: scatter-plot the alias-table distribution ON
+        DEVICE with the device RNG, exactly like the reference's dev view
+        (shader.wgsl:1314-1332): each screen pixel seeds its (pixel,
+        sample) stream and draws `draws_per_pixel` alias samples; every
+        draw adds 0.1/n at the drawn environment pixel."""
+        import jax.numpy as jnp
+
+        from rsoderh_raytracing_tpu.ops import envmap, rng
+
+        denv = self._device_env()
         env = self.environments[self.environment_index]
         length = env.width * env.height
-        n = self.width * self.height * draws_per_pixel
-        rng_np = np.random.default_rng(0)
-        u1 = rng_np.random(n)
-        u2 = rng_np.random(n)
-        idx = np.minimum((u1 * length).astype(np.int64), length - 1)
-        accept = u2 < env.alias.probability[idx]
-        final = np.where(accept, idx, env.alias.alias_index[idx])
-        hist = np.bincount(final, minlength=length).astype(np.float32)
-        img = (hist * (0.1 / draws_per_pixel)).reshape(
-            env.height, env.width
-        )
+        pix = jnp.arange(self.width * self.height, dtype=jnp.uint32)
+        state = rng.seed(pix, jnp.uint32(sample_index))
+        hist = jnp.zeros((length,), jnp.float32)
+        add = jnp.float32(0.1 / draws_per_pixel)
+        # random_index_in_environment draws exactly TWO uniforms per
+        # sample (no jitter draws — shader.wgsl:689-706), so this view
+        # consumes the same stream positions as the reference's.
+        for _ in range(draws_per_pixel):
+            state, u_index = rng.next_uniform(state)
+            index = jnp.minimum(
+                (u_index * jnp.float32(length)).astype(jnp.int32),
+                length - 1,
+            )
+            state, u_accept = rng.next_uniform(state)
+            pair = jnp.take(denv.alias_pair, index, axis=0)
+            final = jnp.where(
+                u_accept < pair[..., 0],
+                index,
+                pair[..., 1].astype(jnp.int32),
+            )
+            hist = hist.at[final].add(add)
+        img = np.asarray(hist).reshape(env.height, env.width)
         return np.clip(img[..., None].repeat(3, axis=-1), 0.0, 1.0)
 
     def debug_hdri_view(self) -> np.ndarray:

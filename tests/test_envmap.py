@@ -89,3 +89,23 @@ def test_sampling_favors_bright_pixels(tiny_env):
     # Importance sampling oversamples bright texels: mean sampled radiance
     # far exceeds the texture mean.
     assert radiance.mean() > 2.0 * tex_mean
+
+
+def test_debug_alias_scatter_on_device(default_scene):
+    """dev_index 2 runs on device with the device RNG (two draws per
+    sample, shader.wgsl:1314-1332) and concentrates mass like the pmf."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+
+    r = Renderer(default_scene, width=16, height=12)
+    img = r.debug_alias_scatter(draws_per_pixel=4)
+    env = r.environments[0]
+    assert img.shape == (env.height, env.width, 3)
+    total = img[..., 0].sum()
+    np.testing.assert_allclose(total, 16 * 12 * 4 * 0.1 / 4, rtol=1e-3)
+    # mass distribution tracks the alias pmf at coarse granularity
+    pmf = np.asarray(env.alias.pmf).reshape(env.height, env.width)
+    top_rows = pmf.sum(axis=1).argsort()[-64:]
+    uniform_share = 64.0 / env.height
+    assert img[..., 0][top_rows].sum() > 2.0 * uniform_share * total
