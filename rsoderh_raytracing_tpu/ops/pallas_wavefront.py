@@ -46,7 +46,8 @@ from rsoderh_raytracing_tpu.ops.rng import PI_DEVICE, TWO_PI_CIRCLE
 PI = PI_DEVICE
 DIELECTRIC_F0 = 0.04
 THROUGHPUT_CUTOFF = 0.001  # shader.wgsl:1289; asserted == integrator's
-SUBLANES = pint.SUBLANES
+SUBLANES = 32  # smaller than pallas_intersect's 64: scoped-VMEM headroom
+# (the 16MB cliff; see PERFORMANCE.md) at equal throughput — 128 loses ~20%
 LANES = pint.LANES
 
 
