@@ -107,3 +107,63 @@ def test_renderer_step_batch_equals_steps(test_scene):
         rtol=2e-5,
         atol=2e-5,
     )
+
+
+def test_kernel_wavefront_matches_composed_interpret(monkeypatch, tiny_env):
+    """The two-Pallas-kernel wavefront body (ops/pallas_wavefront.py)
+    equals the composed XLA body — interpreter mode on CPU, tiny scene
+    (the kernel path compiles slowly in the interpreter; hardware parity
+    at scale is validated separately: identical counts/ray stats, 99.9%
+    of 1-spp pixels bit-equal, rest fma-contraction trajectory flips)."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import pallas_wavefront
+    from rsoderh_raytracing_tpu.render.integrator import camera_pytree
+    from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Plane,
+        Scene,
+        Sphere,
+    )
+
+    scene = Scene(
+        materials=[
+            Material((0.7, 0.3, 0.2), 0.5, 0.0, (0, 0, 0)),
+            Material((0.9, 0.9, 0.9), 0.05, 1.0, (0, 0, 0)),
+        ],
+        spheres=[Sphere(pos=(0.0, 0.0, -3.0), radius=1.0, material_id=1)],
+        planes=[
+            Plane(
+                pos=(-4.0, -1.2, -8.0),
+                right=(8.0, 0.0, 0.0),
+                forward=(0.0, 0.0, 8.0),
+                material_id=0,
+            )
+        ],
+        meshes=PackedMeshes.empty(),
+        camera=Camera(pos=[0, 0, 0], yaw=0, pitch=0, fov_y=1.2),
+    )
+    ds = build_device_scene(scene, pad_to=1)
+    cam = camera_pytree(scene.camera)
+    size = (16, 16)
+
+    composed = np.asarray(
+        render_wavefront(ds, tiny_env, cam, np.uint32(0), size, np.uint32(2))
+    )
+
+    monkeypatch.setenv("RT_PALLAS_INTERPRET", "1")
+    assert pallas_wavefront.supported(ds)
+    assert tiny_env.quad.dtype == np.uint32
+    render_wavefront._clear_cache()
+    kernel = np.asarray(
+        render_wavefront(ds, tiny_env, cam, np.uint32(0), size, np.uint32(2))
+    )
+    render_wavefront._clear_cache()
+
+    close = np.isclose(kernel, composed, rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.99, f"{(~close).sum()} values diverge"
+    np.testing.assert_allclose(kernel.mean(), composed.mean(), rtol=1e-3)
