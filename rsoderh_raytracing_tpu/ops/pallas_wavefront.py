@@ -41,11 +41,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
+from rsoderh_raytracing_tpu.ops.bsdf import DIELECTRIC_F0
 from rsoderh_raytracing_tpu.ops.rng import PI_DEVICE, TWO_PI_CIRCLE
+from rsoderh_raytracing_tpu.render.integrator import THROUGHPUT_CUTOFF
 
 PI = PI_DEVICE
-DIELECTRIC_F0 = 0.04
-THROUGHPUT_CUTOFF = 0.001  # shader.wgsl:1289; asserted == integrator's
 SUBLANES = 32  # smaller than pallas_intersect's 64: scoped-VMEM headroom
 # (the 16MB cliff; see PERFORMANCE.md) at equal throughput — 128 loses ~20%
 LANES = pint.LANES
@@ -170,9 +170,12 @@ def _g1_ggx(ndv, alpha):
 
 def _surface_kd(color, metallic, f0):
     kd0_s = 1.0 - _saturate(metallic)
-    fmax = jnp.maximum(f0[0], jnp.maximum(f0[1], f0[2]))
-    s = kd0_s * (1.0 - fmax)
-    return (color[0] * s, color[1] * s, color[2] * s)
+    fmax_s = 1.0 - jnp.maximum(f0[0], jnp.maximum(f0[1], f0[2]))
+    return (
+        (color[0] * kd0_s) * fmax_s,
+        (color[1] * kd0_s) * fmax_s,
+        (color[2] * kd0_s) * fmax_s,
+    )
 
 
 def _bsdf_eval(wo, wi, color, metallic, alpha, f0):
@@ -510,7 +513,9 @@ def _shade_kernel(
     last_pdf = lp_ref[:]
     a2 = last_pdf * last_pdf
     b2 = pdf_env * pdf_env
-    miss_weight = a2 / (a2 + b2)
+    # bsdf.power_heuristic guards the denominator (both pdfs can
+    # underflow to 0 simultaneously -> NaN without it)
+    miss_weight = a2 / jnp.maximum(a2 + b2, 1.0e-30)
     incoming = tuple(
         incoming[i]
         + jnp.where(is_miss, throughput[i] * radiance[i] * miss_weight, 0.0)
@@ -527,16 +532,18 @@ def _shade_kernel(
     npdf = npdf_ref[:]
     e2 = pdf_env * pdf_env
     n2 = npdf * npdf
-    nee_weight = e2 / (e2 + n2)
+    nee_weight = e2 / jnp.maximum(e2 + n2, 1.0e-30)
     nee_ok = (
         is_hit & (cos_theta > 0.0) & (pdf_env > 0.0) & (occ_ref[:] == 0)
     )
-    nee_scale = nee_weight * (cos_theta / jnp.maximum(pdf_env, 1.0e-30))
+    cos_over_pdf = cos_theta / jnp.maximum(pdf_env, 1.0e-30)
     ns = (ns0_ref[:], ns1_ref[:], ns2_ref[:])
     incoming = tuple(
         incoming[i]
         + jnp.where(
-            nee_ok, throughput[i] * radiance[i] * ns[i] * nee_scale, 0.0
+            nee_ok,
+            throughput[i] * nee_weight * radiance[i] * ns[i] * cos_over_pdf,
+            0.0,
         )
         for i in range(3)
     )

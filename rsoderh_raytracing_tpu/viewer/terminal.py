@@ -118,6 +118,14 @@ def parse_input(buf: bytes):
                 break
             i = j + 1
             continue
+        if buf[i : i + 2] == b"\x1bO":
+            # SS3 sequence (application-mode arrows: ESC O A..D): drop
+            # the WHOLE three-byte sequence so the final byte never
+            # leaks as a movement key.
+            if i + 2 >= n:
+                break
+            i += 3
+            continue
         if i + 1 >= n:
             break
         i += 2  # ESC + one char: drop
