@@ -36,7 +36,10 @@ def main() -> int:
     from rsoderh_raytracing_tpu.scene.device import build_device_scene
 
     root = os.path.dirname(os.path.abspath(__file__))
-    scene = load_scene(os.path.join(root, "assets", "scenes", "house.toml"))
+    scene_name = os.environ.get("BENCH_SCENE", "house")  # house | suzanne | default
+    scene = load_scene(
+        os.path.join(root, "assets", "scenes", f"{scene_name}.toml")
+    )
     ds = build_device_scene(scene)
     env = device_environment(
         Environment.from_texture("bench_sky", procedural_sky(2048, 1024))
@@ -106,7 +109,7 @@ def main() -> int:
 
     platform = jax.devices()[0].platform
     result = {
-        "metric": f"house_{size} Mrays/s ({platform},"
+        "metric": f"{scene_name}_{size} Mrays/s ({platform},"
         f" {max_bounces} bounces, {rays_per_pixel_sample:.2f} rays/px/spp)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
