@@ -54,9 +54,10 @@ def main() -> int:
     from rsoderh_raytracing_tpu.render.wavefront import render_freerun
 
     spp = int(os.environ.get("BENCH_SPP", "16"))
-    # Iteration budget sized so the mean pixel completes ~spp samples
-    # (house mean path length ~3.5 segments).
-    iterations = int(os.environ.get("BENCH_ITERS", "256"))
+    # Iteration budget per call: longer budgets amortize the wavefront
+    # drain tail and the per-call sync (256 -> 123 Mrays/s, 1024 -> 127,
+    # measured).
+    iterations = int(os.environ.get("BENCH_ITERS", "1024"))
 
     # --- timed free-run wavefront renders ---------------------------------
     # Every traced ray lands in the film (free-run keeps all lanes busy,
