@@ -443,7 +443,89 @@ def _chunked_closest_kernel(n_sph, n_pln, *args):
         idx_ref[:] = best_idx
 
 
-def _chunked_call(scene, ro, rd):
+def _chunked_any_kernel(n_sph, n_pln, *args):
+    """Occlusion-only variant of _chunked_closest_kernel: the same hit
+    conditions and chunk-AABB cull, OR-accumulated into one i32 output —
+    no winner tracking (shadow rays only need "anything blocks")."""
+    bounds_ref = args[0]
+    small_refs = args[1:11]
+    tri_refs = args[11:19]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[19:25]
+    (occ_ref,) = args[25:]
+
+    (
+        tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
+        tri_valid,
+    ) = tri_refs
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        refs = tuple(small_refs) + tuple(tri_refs)
+        best_t, _, _ = _sweep_body(
+            n_sph, n_pln, 0, refs, ox, oy, oz, dx, dy, dz
+        )
+        occ_ref[:] = (best_t < INF).astype(jnp.int32)
+
+    def axis_slab(o, d, lo, hi):
+        inv = 1.0 / d
+        near = (lo - o) * inv
+        far = (hi - o) * inv
+        t_lo = jnp.minimum(near, far)
+        t_hi = jnp.maximum(near, far)
+        t_lo = jnp.where(jnp.isnan(t_lo), -INF, t_lo)
+        t_hi = jnp.where(jnp.isnan(t_hi), INF, t_hi)
+        return t_lo, t_hi
+
+    l0, h0 = axis_slab(ox, dx, bounds_ref[j, 0], bounds_ref[j, 3])
+    l1, h1 = axis_slab(oy, dy, bounds_ref[j, 1], bounds_ref[j, 4])
+    l2, h2 = axis_slab(oz, dz, bounds_ref[j, 2], bounds_ref[j, 5])
+    t0 = jnp.maximum(jnp.maximum(l0, l1), jnp.maximum(l2, 0.0))
+    t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
+    chunk_live = jnp.any(t0 <= t1)
+
+    @pl.when(chunk_live)
+    def _():
+        occ = occ_ref[:] != 0
+        mx = oy * dz - oz * dy
+        my = oz * dx - ox * dz
+        mz = ox * dy - oy * dx
+        for i in range(TRI_CHUNK):
+            det = (
+                dx * tri_cdet[i, 0]
+                + dy * tri_cdet[i, 1]
+                + dz * tri_cdet[i, 2]
+            )
+            ok = jnp.abs(det) >= geo.TRI_DET_EPS
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            u = (
+                (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
+                + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
+            ) * inv
+            v = -(
+                (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
+                + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
+            ) * inv
+            t = (
+                (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
+                - tri_adotn[i, 0]
+            ) * inv
+            occ = occ | (
+                ok
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t >= geo.TRI_T_EPS)
+                & (tri_valid[i, 0] > 0)
+            )
+        occ_ref[:] = occ.astype(jnp.int32)
+
+
+def _chunked_call(scene, ro, rd, any_only: bool = False):
     n = ro.shape[0]
     comps, n_pad = _ray_tiles(ro, rd)
     rows = n_pad // LANES
@@ -491,6 +573,19 @@ def _chunked_call(scene, ro, rd):
     out_block = pl.BlockSpec(
         (SUBLANES, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
     )
+
+    if any_only:
+        (occ,) = pl.pallas_call(
+            partial(_chunked_any_kernel, n_sph, n_pln),
+            grid=(grid_rays, n_chunks),
+            in_specs=(
+                [bounds_spec] + [smem_full] * 10 + tri_specs + [ray_block] * 6
+            ),
+            out_specs=(out_block,),
+            out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.int32),),
+            interpret=_interpret(),
+        )(chunk_bounds, *small_refs, *tri_arrays, *comps)
+        return (occ.reshape(-1)[:n] != 0,)
 
     t, ptype, pidx = pl.pallas_call(
         partial(_chunked_closest_kernel, n_sph, n_pln),
@@ -882,7 +977,7 @@ def fused_trace(scene, ro, rd, nee_dir):
 def any_sweep(scene, ro, rd):
     """(N,) bool occlusion."""
     if _use_chunked(scene):
-        _, ptype, _ = _chunked_call(scene, ro, rd)
-        return ptype >= 0
+        (occ,) = _chunked_call(scene, ro, rd, any_only=True)
+        return occ
     (hit,) = _call(_any_kernel, (jnp.int32,), scene, ro, rd)
     return hit != 0

@@ -244,3 +244,24 @@ def test_loop_variant_matches_xla_sphere_cloud():
     assert hit.sum() > 20
     np.testing.assert_array_equal(ix_p[hit], ix_x[hit])
     np.testing.assert_allclose(t_p[hit], t_x[hit], rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_any_matches_xla_suzanne(assets_dir):
+    """The occlusion-only chunked kernel (shadow rays) matches the XLA
+    sweep's hit mask on suzanne."""
+    import os as _os
+
+    from rsoderh_raytracing_tpu import load_scene
+    from rsoderh_raytracing_tpu.ops import intersect, pallas_intersect
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    scene = load_scene(_os.path.join(assets_dir, "scenes", "suzanne.toml"))
+    ds = build_device_scene(scene)
+    assert pallas_intersect._use_chunked(ds)
+    ro, rd = _random_rays(300, seed=6)
+    ro[:, 2] += 3.0
+    a = np.asarray(pallas_intersect.any_sweep(ds, ro, rd))
+    t_x, ty_x, _ = map(np.asarray, intersect._sweep_xla(ds, ro, rd))
+    assert a.dtype == bool and a.shape == (300,)
+    np.testing.assert_array_equal(a, ty_x >= 0)
+    assert a.sum() > 20
