@@ -56,8 +56,12 @@ def main() -> int:
     spp = int(os.environ.get("BENCH_SPP", "16"))
     # Iteration budget per call: longer budgets amortize the wavefront
     # drain tail and the per-call sync (256 -> 123 Mrays/s, 1024 -> 127,
-    # measured).
-    iterations = int(os.environ.get("BENCH_ITERS", "1024"))
+    # measured) — but a single device call must stay under the axon
+    # tunnel's RPC deadline (~2 min): suzanne-class scenes run ~6x slower
+    # per iteration, so they take a smaller per-call budget (a 1024-iter
+    # suzanne call is ~4 min of device time and dies UNAVAILABLE).
+    default_iters = "1024" if scene_name in ("house", "default") else "128"
+    iterations = int(os.environ.get("BENCH_ITERS", default_iters))
 
     # --- timed free-run wavefront renders ---------------------------------
     # Every traced ray lands in the film (free-run keeps all lanes busy,

@@ -339,25 +339,90 @@ def _sweep_body_loop(n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz):
     return state
 
 
+def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz):
+    """Conservative per-lane chunk-AABB slab test (NaN -> hit, no t_max):
+    which lanes possibly touch chunk `cidx`'s bounds? Padded-origin
+    vertices only ever ENLARGE bounds, so the cull never drops a triangle
+    the dense sweep would find."""
+
+    def axis_slab(o, d, lo, hi):
+        inv = 1.0 / d  # +-inf on axis-parallel rays
+        near = (lo - o) * inv
+        far = (hi - o) * inv
+        t_lo = jnp.minimum(near, far)
+        t_hi = jnp.maximum(near, far)
+        # NaN (0 * inf) -> the axis imposes no constraint.
+        t_lo = jnp.where(jnp.isnan(t_lo), -INF, t_lo)
+        t_hi = jnp.where(jnp.isnan(t_hi), INF, t_hi)
+        return t_lo, t_hi
+
+    l0, h0 = axis_slab(ox, dx, bounds_ref[cidx, 0], bounds_ref[cidx, 3])
+    l1, h1 = axis_slab(oy, dy, bounds_ref[cidx, 1], bounds_ref[cidx, 4])
+    l2, h2 = axis_slab(oz, dz, bounds_ref[cidx, 2], bounds_ref[cidx, 5])
+    t0 = jnp.maximum(jnp.maximum(l0, l1), jnp.maximum(l2, 0.0))
+    t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
+    return t0 <= t1
+
+
+def chunk_slab_any(bounds_ref, cidx, ox, oy, oz, dx, dy, dz):
+    """Does ANY lane of the tile possibly touch chunk `cidx`'s bounds?"""
+    return jnp.any(chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz))
+
+
+def tri_chunk_hits(tri_refs, ox, oy, oz, dx, dy, dz):
+    """Yield (i, t, hit) for each of a chunk window's TRI_CHUNK triangles
+    — the same expanded-triple-product test as _sweep_body, on (T, c)
+    SMEM window refs (per-triangle scalars as (T, 1))."""
+    (
+        tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
+        tri_valid,
+    ) = tri_refs
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    for i in range(TRI_CHUNK):
+        det = (
+            dx * tri_cdet[i, 0]
+            + dy * tri_cdet[i, 1]
+            + dz * tri_cdet[i, 2]
+        )
+        ok = jnp.abs(det) >= geo.TRI_DET_EPS
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        u = (
+            (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
+            + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
+        ) * inv
+        v = -(
+            (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
+            + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
+        ) * inv
+        t = (
+            (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
+            - tri_adotn[i, 0]
+        ) * inv
+        hit = (
+            ok
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t >= geo.TRI_T_EPS)
+            & (tri_valid[i, 0] > 0)
+        )
+        yield i, t, hit
+
+
 def _chunked_closest_kernel(n_sph, n_pln, *args):
     """Grid (ray_blocks, tri_chunks): out blocks are revisited across the
     chunk axis (innermost), accumulating the closest hit; spheres+planes
     run once at chunk 0. Triangle constants arrive as SMEM windows of
     TRI_CHUNK rows — a few KB regardless of scene size. Each chunk is
-    guarded by a CONSERVATIVE chunk-AABB slab test: if no ray in the
-    tile can touch the chunk's bounds, its 64-triangle loop is skipped
-    entirely (NaN slab times count as hits, so the cull never drops a
-    triangle the dense sweep would find)."""
+    guarded by a CONSERVATIVE chunk-AABB slab test (chunk_slab_any)."""
     bounds_ref = args[0]
     small_refs = args[1:11]
     tri_refs = args[11:19]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[19:25]
     t_ref, type_ref, idx_ref = args[25:]
-
-    (
-        tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
-        tri_valid,
-    ) = tri_refs
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -374,65 +439,16 @@ def _chunked_closest_kernel(n_sph, n_pln, *args):
         type_ref[:] = best_type
         idx_ref[:] = best_idx
 
-    # Conservative slab test (NaN -> hit, no t_max): any lane touching?
-    def axis_slab(o, d, lo, hi):
-        inv = 1.0 / d  # +-inf on axis-parallel rays
-        near = (lo - o) * inv
-        far = (hi - o) * inv
-        t_lo = jnp.minimum(near, far)
-        t_hi = jnp.maximum(near, far)
-        # NaN (0 * inf) -> the axis imposes no constraint.
-        t_lo = jnp.where(jnp.isnan(t_lo), -INF, t_lo)
-        t_hi = jnp.where(jnp.isnan(t_hi), INF, t_hi)
-        return t_lo, t_hi
-
-    l0, h0 = axis_slab(ox, dx, bounds_ref[j, 0], bounds_ref[j, 3])
-    l1, h1 = axis_slab(oy, dy, bounds_ref[j, 1], bounds_ref[j, 4])
-    l2, h2 = axis_slab(oz, dz, bounds_ref[j, 2], bounds_ref[j, 5])
-    t0 = jnp.maximum(jnp.maximum(l0, l1), jnp.maximum(l2, 0.0))
-    t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
-    chunk_live = jnp.any(t0 <= t1)
+    chunk_live = chunk_slab_any(bounds_ref, j, ox, oy, oz, dx, dy, dz)
 
     @pl.when(chunk_live)
     def _():
         best_t = t_ref[:]
         best_type = type_ref[:]
         best_idx = idx_ref[:]
-
-        mx = oy * dz - oz * dy
-        my = oz * dx - ox * dz
-        mz = ox * dy - oy * dx
         base = j * TRI_CHUNK
 
-        for i in range(TRI_CHUNK):
-            det = (
-                dx * tri_cdet[i, 0]
-                + dy * tri_cdet[i, 1]
-                + dz * tri_cdet[i, 2]
-            )
-            ok = jnp.abs(det) >= geo.TRI_DET_EPS
-            inv = 1.0 / jnp.where(ok, det, 1.0)
-            u = (
-                (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
-                + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
-            ) * inv
-            v = -(
-                (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
-                + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
-            ) * inv
-            t = (
-                (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
-                - tri_adotn[i, 0]
-            ) * inv
-            hit = (
-                ok
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t >= geo.TRI_T_EPS)
-                & (tri_valid[i, 0] > 0)
-            )
+        for i, t, hit in tri_chunk_hits(tri_refs, ox, oy, oz, dx, dy, dz):
             better = hit & (t < best_t)
             best_t = jnp.where(better, t, best_t)
             best_type = jnp.where(better, 2, best_type)
@@ -443,20 +459,24 @@ def _chunked_closest_kernel(n_sph, n_pln, *args):
         idx_ref[:] = best_idx
 
 
-def _chunked_any_kernel(n_sph, n_pln, *args):
+def _chunked_any_kernel(n_sph, n_pln, use_mask, *args):
     """Occlusion-only variant of _chunked_closest_kernel: the same hit
     conditions and chunk-AABB cull, OR-accumulated into one i32 output —
-    no winner tracking (shadow rays only need "anything blocks")."""
+    no winner tracking (shadow rays only need "anything blocks").
+    With use_mask, an extra i32 lane-mask input tightens the cull: chunks
+    only sweep when a MASKED lane's ray touches their bounds (the
+    wavefront passes did_hit — miss lanes' occlusion is never consumed,
+    and a masked lane whose ray misses the chunk AABB cannot be blocked
+    by that chunk, so skipping is exact for every consumed lane)."""
     bounds_ref = args[0]
     small_refs = args[1:11]
     tri_refs = args[11:19]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[19:25]
-    (occ_ref,) = args[25:]
-
-    (
-        tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
-        tri_valid,
-    ) = tri_refs
+    if use_mask:
+        mask_ref = args[25]
+        (occ_ref,) = args[26:]
+    else:
+        (occ_ref,) = args[25:]
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -470,66 +490,61 @@ def _chunked_any_kernel(n_sph, n_pln, *args):
         )
         occ_ref[:] = (best_t < INF).astype(jnp.int32)
 
-    def axis_slab(o, d, lo, hi):
-        inv = 1.0 / d
-        near = (lo - o) * inv
-        far = (hi - o) * inv
-        t_lo = jnp.minimum(near, far)
-        t_hi = jnp.maximum(near, far)
-        t_lo = jnp.where(jnp.isnan(t_lo), -INF, t_lo)
-        t_hi = jnp.where(jnp.isnan(t_hi), INF, t_hi)
-        return t_lo, t_hi
-
-    l0, h0 = axis_slab(ox, dx, bounds_ref[j, 0], bounds_ref[j, 3])
-    l1, h1 = axis_slab(oy, dy, bounds_ref[j, 1], bounds_ref[j, 4])
-    l2, h2 = axis_slab(oz, dz, bounds_ref[j, 2], bounds_ref[j, 5])
-    t0 = jnp.maximum(jnp.maximum(l0, l1), jnp.maximum(l2, 0.0))
-    t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
-    chunk_live = jnp.any(t0 <= t1)
+    slab = chunk_slab_mask(bounds_ref, j, ox, oy, oz, dx, dy, dz)
+    if use_mask:
+        slab = slab & (mask_ref[:] != 0)
+    chunk_live = jnp.any(slab)
 
     @pl.when(chunk_live)
     def _():
         occ = occ_ref[:] != 0
-        mx = oy * dz - oz * dy
-        my = oz * dx - ox * dz
-        mz = ox * dy - oy * dx
-        for i in range(TRI_CHUNK):
-            det = (
-                dx * tri_cdet[i, 0]
-                + dy * tri_cdet[i, 1]
-                + dz * tri_cdet[i, 2]
-            )
-            ok = jnp.abs(det) >= geo.TRI_DET_EPS
-            inv = 1.0 / jnp.where(ok, det, 1.0)
-            u = (
-                (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
-                + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
-            ) * inv
-            v = -(
-                (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
-                + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
-            ) * inv
-            t = (
-                (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
-                - tri_adotn[i, 0]
-            ) * inv
-            occ = occ | (
-                ok
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t >= geo.TRI_T_EPS)
-                & (tri_valid[i, 0] > 0)
-            )
+        for _i, _t, hit in tri_chunk_hits(tri_refs, ox, oy, oz, dx, dy, dz):
+            occ = occ | hit
         occ_ref[:] = occ.astype(jnp.int32)
 
 
-def _chunked_call(scene, ro, rd, any_only: bool = False):
-    n = ro.shape[0]
-    comps, n_pad = _ray_tiles(ro, rd)
-    rows = n_pad // LANES
-    grid_rays = rows // SUBLANES
+def chunk_bounds(scene):
+    """(n_chunks, 6) per-chunk AABBs [min xyz, max xyz], slightly inflated
+    for fp safety: min/max over the chunk's triangle vertices
+    (a, a+e0, a+e1). Cheap jit-cached XLA. Padded (invalid) triangles are
+    all-zero: their vertices collapse to the origin, which only ever
+    ENLARGES a chunk's bounds (conservative)."""
+    n_chunks = scene.tri_valid.shape[0] // TRI_CHUNK
+    va = scene.tri_a
+    vb = scene.tri_a + scene.tri_edge0
+    vc = scene.tri_a + scene.tri_edge1
+    pts = jnp.stack([va, vb, vc], axis=1).reshape(n_chunks, TRI_CHUNK * 3, 3)
+    cmin = jnp.min(pts, axis=1)
+    cmax = jnp.max(pts, axis=1)
+    eps = (cmax - cmin) * 1.0e-5 + 1.0e-5
+    return jnp.concatenate([cmin - eps, cmax + eps], axis=-1)
+
+
+def chunked_closest_tiles(scene, ro_t, rd_t, sublanes=None):
+    """Chunked closest sweep directly on (rows, LANES) component-tile
+    3-tuples. Returns (t, ptype, pidx) tiles. `sublanes` sets the ray
+    block height (rows must divide by it)."""
+    return _chunked_tiles_call(scene, ro_t + rd_t, sublanes, any_only=False)
+
+
+def chunked_any_tiles(scene, ro_t, rd_t, hit_mask=None, sublanes=None):
+    """Chunked occlusion sweep on tiles -> i32 occlusion tile. Optional
+    hit_mask (i32 tile) tightens the chunk cull to masked lanes."""
+    comps = ro_t + rd_t
+    if hit_mask is not None:
+        comps = comps + (hit_mask,)
+    (occ,) = _chunked_tiles_call(
+        scene, comps, sublanes, any_only=True, use_mask=hit_mask is not None
+    )
+    return occ
+
+
+def _chunked_tiles_call(
+    scene, comps, sublanes=None, any_only=False, use_mask=False
+):
+    rows = comps[0].shape[0]
+    sub = sublanes or SUBLANES
+    grid_rays = rows // sub
 
     n_sph = scene.sph_radius.shape[0]
     n_pln = scene.pln_valid.shape[0]
@@ -544,21 +559,9 @@ def _chunked_call(scene, ro, rd, any_only: bool = False):
         arr if arr.ndim == 2 else arr.reshape(-1, 1) for arr in refs[10:]
     )
 
-    # Per-chunk AABB (slightly inflated for fp safety): min/max over the
-    # chunk's triangle vertices (a, a+e0, a+e1). Cheap jit-cached XLA.
-    va = scene.tri_a
-    vb = scene.tri_a + scene.tri_edge0
-    vc = scene.tri_a + scene.tri_edge1
-    # Padded (invalid) triangles are all-zero: their vertices collapse to
-    # the origin, which only ever ENLARGES a chunk's bounds (conservative).
-    pts = jnp.stack([va, vb, vc], axis=1).reshape(n_chunks, TRI_CHUNK * 3, 3)
-    cmin = jnp.min(pts, axis=1)
-    cmax = jnp.max(pts, axis=1)
-    eps = (cmax - cmin) * 1.0e-5 + 1.0e-5
-    chunk_bounds = jnp.concatenate([cmin - eps, cmax + eps], axis=-1)
+    bounds = chunk_bounds(scene)
 
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
-    bounds_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # full, row j read in-kernel
     tri_specs = [
         pl.BlockSpec(
             (TRI_CHUNK, arr.shape[1]),
@@ -568,37 +571,44 @@ def _chunked_call(scene, ro, rd, any_only: bool = False):
         for arr in tri_arrays
     ]
     ray_block = pl.BlockSpec(
-        (SUBLANES, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        (sub, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
     )
-    out_block = pl.BlockSpec(
-        (SUBLANES, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-    )
+    n_ray_ins = len(comps)
 
     if any_only:
         (occ,) = pl.pallas_call(
-            partial(_chunked_any_kernel, n_sph, n_pln),
+            partial(_chunked_any_kernel, n_sph, n_pln, use_mask),
             grid=(grid_rays, n_chunks),
             in_specs=(
-                [bounds_spec] + [smem_full] * 10 + tri_specs + [ray_block] * 6
+                [smem_full] * 11 + tri_specs + [ray_block] * n_ray_ins
             ),
-            out_specs=(out_block,),
+            out_specs=(ray_block,),
             out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.int32),),
             interpret=_interpret(),
-        )(chunk_bounds, *small_refs, *tri_arrays, *comps)
-        return (occ.reshape(-1)[:n] != 0,)
+        )(bounds, *small_refs, *tri_arrays, *comps)
+        return (occ,)
 
-    t, ptype, pidx = pl.pallas_call(
+    return pl.pallas_call(
         partial(_chunked_closest_kernel, n_sph, n_pln),
         grid=(grid_rays, n_chunks),
-        in_specs=[bounds_spec] + [smem_full] * 10 + tri_specs + [ray_block] * 6,
-        out_specs=(out_block, out_block, out_block),
+        in_specs=[smem_full] * 11 + tri_specs + [ray_block] * n_ray_ins,
+        out_specs=(ray_block, ray_block, ray_block),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
         interpret=_interpret(),
-    )(chunk_bounds, *small_refs, *tri_arrays, *comps)
+    )(bounds, *small_refs, *tri_arrays, *comps)
+
+
+def _chunked_call(scene, ro, rd, any_only: bool = False):
+    n = ro.shape[0]
+    comps, n_pad = _ray_tiles(ro, rd)
+    res = _chunked_tiles_call(scene, tuple(comps), any_only=any_only)
+    if any_only:
+        return (res[0].reshape(-1)[:n] != 0,)
+    t, ptype, pidx = res
     return (
         t.reshape(-1)[:n],
         ptype.reshape(-1)[:n],
@@ -731,56 +741,58 @@ def fused_supported(scene) -> bool:
     )
 
 
-def trace_attrs_body(
-    n_sph, n_pln, n_tri, n_mat, refs, extras,
-    ox, oy, oz, dx, dy, dz, sx, sy, sz,
-):
-    """Shared in-kernel body: closest sweep + winner attributes +
-    material values + NEE-occlusion shadow sweep. All inputs/outputs are
-    (SUBLANES, LANES) tiles; returns a dict (see the end)."""
-    (sph_radius, sph_mat, pln_mat, tri_mat,
-     tri_a, tri_n0, tri_n1, tri_n2,
-     mat_color, mat_rough, mat_metal, mat_emis) = extras
-
-    tri_edge0 = refs[11]
-    tri_edge1 = refs[12]
-
-    best_t, best_type, best_idx = _sweep_body(
-        n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz
+def chunked_trace_supported(scene) -> bool:
+    """Big-triangle scenes take the chunked two-pass trace kernel
+    (ops/pallas_wavefront.py) when the sweep's chunked grid applies."""
+    return (
+        pallas_enabled()
+        and scene.bvh is None
+        and _total_prims(scene) > MAX_UNROLL_PRIMS
+        and _chunked_applicable(scene)
     )
-    did_hit = best_type >= 0
-    t_safe = jnp.where(did_hit, best_t, 0.0)
-    px = ox + dx * t_safe
-    py = oy + dy * t_safe
-    pz = oz + dz * t_safe
 
-    def winner_consts(ptype, table_rows, idx):
-        """Row idx of each (n, 3) SMEM table where best matches, else row
-        0 — the exact semantics of jnp.take(tbl, where(win, idx, 0))."""
-        sel_mask = (best_type == ptype)
-        outs = []
-        for tbl in table_rows:
-            vx = jnp.broadcast_to(tbl[0, 0], ox.shape)
-            vy = jnp.broadcast_to(tbl[0, 1], ox.shape)
-            vz = jnp.broadcast_to(tbl[0, 2], ox.shape)
-            for i in range(1, idx):
-                sel = sel_mask & (best_idx == i)
-                vx = jnp.where(sel, tbl[i, 0], vx)
-                vy = jnp.where(sel, tbl[i, 1], vy)
-                vz = jnp.where(sel, tbl[i, 2], vz)
-            outs.append((vx, vy, vz))
-        return outs
 
-    def winner_scalar(ptype, tbl, idx):
-        sel_mask = (best_type == ptype)
-        v = jnp.broadcast_to(tbl[0], ox.shape)
-        for i in range(1, idx):
-            v = jnp.where(sel_mask & (best_idx == i), tbl[i], v)
-        return v
+def winner_rows(best_type, best_idx, ptype, table_rows, count, shape):
+    """Row `best_idx` of each (n, 3) SMEM table where best_type matches
+    `ptype`, else row 0 — the exact semantics of
+    jnp.take(tbl, where(win, idx, 0)). Returns a list of 3-tuples."""
+    sel_mask = best_type == ptype
+    outs = []
+    for tbl in table_rows:
+        vx = jnp.broadcast_to(tbl[0, 0], shape)
+        vy = jnp.broadcast_to(tbl[0, 1], shape)
+        vz = jnp.broadcast_to(tbl[0, 2], shape)
+        for i in range(1, count):
+            sel = sel_mask & (best_idx == i)
+            vx = jnp.where(sel, tbl[i, 0], vx)
+            vy = jnp.where(sel, tbl[i, 1], vy)
+            vz = jnp.where(sel, tbl[i, 2], vz)
+        outs.append((vx, vy, vz))
+    return outs
+
+
+def winner_scalar(best_type, best_idx, ptype, tbl, count, shape):
+    """Scalar-table variant of winner_rows."""
+    sel_mask = best_type == ptype
+    v = jnp.broadcast_to(tbl[0], shape)
+    for i in range(1, count):
+        v = jnp.where(sel_mask & (best_idx == i), tbl[i], v)
+    return v
+
+
+def small_winner_normals(
+    n_sph, n_pln, refs, sph_radius, sph_mat, pln_mat,
+    best_type, best_idx, ox, oy, oz, px, py, pz,
+):
+    """Sphere + plane winner normals and material ids from the FULL SMEM
+    tables. Returns ((snx,sny,snz), (pnx,pny,pnz), m_s, m_p)."""
+    shape = ox.shape
 
     # --- sphere normal (ops/geometry.py::sphere_normal) -----------------
-    ((cx, cy, cz),) = winner_consts(0, [refs[0]], n_sph)
-    s_r = winner_scalar(0, sph_radius, n_sph)
+    ((cx, cy, cz),) = winner_rows(
+        best_type, best_idx, 0, [refs[0]], n_sph, shape
+    )
+    s_r = winner_scalar(best_type, best_idx, 0, sph_radius, n_sph, shape)
     snx = px - cx
     sny = py - cy
     snz = pz - cz
@@ -793,17 +805,23 @@ def trace_attrs_body(
     snz = jnp.where(inside, -snz, snz)
 
     # --- plane normal with the origin-position flip quirk ---------------
-    ((pnx, pny, pnz),) = winner_consts(1, [refs[3]], n_pln)
+    ((pnx, pny, pnz),) = winner_rows(
+        best_type, best_idx, 1, [refs[3]], n_pln, shape
+    )
     flip = ox * pnx + oy * pny + oz * pnz < 0.0
     pnx = jnp.where(flip, -pnx, pnx)
     pny = jnp.where(flip, -pny, pny)
     pnz = jnp.where(flip, -pnz, pnz)
 
-    # --- triangle normal: naive Moller-Trumbore recompute on the winner
-    # (exactly ops/geometry.py::triangle_hit_attributes) ------------------
-    (a, e0, e1, tn0, tn1, tn2) = winner_consts(
-        2, [tri_a, tri_edge0, tri_edge1, tri_n0, tri_n1, tri_n2], n_tri
-    )
+    m_s = winner_scalar(best_type, best_idx, 0, sph_mat, n_sph, shape)
+    m_p = winner_scalar(best_type, best_idx, 1, pln_mat, n_pln, shape)
+    return (snx, sny, snz), (pnx, pny, pnz), m_s, m_p
+
+
+def tri_normal_recompute(a, e0, e1, tn0, tn1, tn2, ox, oy, oz, dx, dy, dz):
+    """Naive Moller-Trumbore recompute on the winner triangle's constants
+    (exactly ops/geometry.py::triangle_hit_attributes): barycentric blend
+    of the baked normals + backface flip. a/e0/e1/tn*: 3-tuples of tiles."""
     rx, ry, rz = ox - a[0], oy - a[1], oz - a[2]
     p0x = ry * e0[2] - rz * e0[1]
     p0y = rz * e0[0] - rx * e0[2]
@@ -827,27 +845,22 @@ def trace_attrs_body(
     tnx = jnp.where(backface, -tnx, tnx)
     tny = jnp.where(backface, -tny, tny)
     tnz = jnp.where(backface, -tnz, tnz)
+    return tnx, tny, tnz
 
-    is_s = best_type == 0
-    is_p = best_type == 1
-    nx = jnp.where(is_s, snx, jnp.where(is_p, pnx, tnx))
-    ny = jnp.where(is_s, sny, jnp.where(is_p, pny, tny))
-    nz = jnp.where(is_s, snz, jnp.where(is_p, pnz, tnz))
 
-    # --- material id then values (unrolled over the material table) -----
-    m_s = winner_scalar(0, sph_mat, n_sph)
-    m_p = winner_scalar(1, pln_mat, n_pln)
-    m_t = winner_scalar(2, tri_mat, n_tri)
-    mat_id = jnp.where(is_s, m_s, jnp.where(is_p, m_p, m_t))
-
-    cr = jnp.broadcast_to(mat_color[0, 0], ox.shape)
-    cg = jnp.broadcast_to(mat_color[0, 1], ox.shape)
-    cb = jnp.broadcast_to(mat_color[0, 2], ox.shape)
-    rough = jnp.broadcast_to(mat_rough[0], ox.shape)
-    metal = jnp.broadcast_to(mat_metal[0], ox.shape)
-    er = jnp.broadcast_to(mat_emis[0, 0], ox.shape)
-    eg = jnp.broadcast_to(mat_emis[0, 1], ox.shape)
-    eb = jnp.broadcast_to(mat_emis[0, 2], ox.shape)
+def material_values(
+    n_mat, mat_color, mat_rough, mat_metal, mat_emis, mat_id, shape
+):
+    """Material row values via unrolled selects over the SMEM tables.
+    Returns (cr, cg, cb, rough, metal, er, eg, eb)."""
+    cr = jnp.broadcast_to(mat_color[0, 0], shape)
+    cg = jnp.broadcast_to(mat_color[0, 1], shape)
+    cb = jnp.broadcast_to(mat_color[0, 2], shape)
+    rough = jnp.broadcast_to(mat_rough[0], shape)
+    metal = jnp.broadcast_to(mat_metal[0], shape)
+    er = jnp.broadcast_to(mat_emis[0, 0], shape)
+    eg = jnp.broadcast_to(mat_emis[0, 1], shape)
+    eb = jnp.broadcast_to(mat_emis[0, 2], shape)
     for m in range(1, n_mat):
         sel = mat_id == m
         cr = jnp.where(sel, mat_color[m, 0], cr)
@@ -858,6 +871,59 @@ def trace_attrs_body(
         er = jnp.where(sel, mat_emis[m, 0], er)
         eg = jnp.where(sel, mat_emis[m, 1], eg)
         eb = jnp.where(sel, mat_emis[m, 2], eb)
+    return cr, cg, cb, rough, metal, er, eg, eb
+
+
+def trace_attrs_body(
+    n_sph, n_pln, n_tri, n_mat, refs, extras,
+    ox, oy, oz, dx, dy, dz, sx, sy, sz,
+):
+    """Shared in-kernel body: closest sweep + winner attributes +
+    material values + NEE-occlusion shadow sweep. All inputs/outputs are
+    (SUBLANES, LANES) tiles; returns a dict (see the end)."""
+    (sph_radius, sph_mat, pln_mat, tri_mat,
+     tri_a, tri_n0, tri_n1, tri_n2,
+     mat_color, mat_rough, mat_metal, mat_emis) = extras
+
+    tri_edge0 = refs[11]
+    tri_edge1 = refs[12]
+
+    best_t, best_type, best_idx = _sweep_body(
+        n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz
+    )
+    did_hit = best_type >= 0
+    t_safe = jnp.where(did_hit, best_t, 0.0)
+    px = ox + dx * t_safe
+    py = oy + dy * t_safe
+    pz = oz + dz * t_safe
+
+    (snx, sny, snz), (pnx, pny, pnz), m_s, m_p = small_winner_normals(
+        n_sph, n_pln, refs, sph_radius, sph_mat, pln_mat,
+        best_type, best_idx, ox, oy, oz, px, py, pz,
+    )
+
+    # --- triangle winner constants + normal recompute --------------------
+    (a, e0, e1, tn0, tn1, tn2) = winner_rows(
+        best_type, best_idx, 2,
+        [tri_a, tri_edge0, tri_edge1, tri_n0, tri_n1, tri_n2],
+        n_tri, ox.shape,
+    )
+    tnx, tny, tnz = tri_normal_recompute(
+        a, e0, e1, tn0, tn1, tn2, ox, oy, oz, dx, dy, dz
+    )
+
+    is_s = best_type == 0
+    is_p = best_type == 1
+    nx = jnp.where(is_s, snx, jnp.where(is_p, pnx, tnx))
+    ny = jnp.where(is_s, sny, jnp.where(is_p, pny, tny))
+    nz = jnp.where(is_s, snz, jnp.where(is_p, pnz, tnz))
+
+    # --- material id then values (unrolled over the material table) -----
+    m_t = winner_scalar(best_type, best_idx, 2, tri_mat, n_tri, ox.shape)
+    mat_id = jnp.where(is_s, m_s, jnp.where(is_p, m_p, m_t))
+    cr, cg, cb, rough, metal, er, eg, eb = material_values(
+        n_mat, mat_color, mat_rough, mat_metal, mat_emis, mat_id, ox.shape
+    )
 
     # --- NEE occlusion: shadow sweep from the hit point ------------------
     occ_t, _, _ = _sweep_body(

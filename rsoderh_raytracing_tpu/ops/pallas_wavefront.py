@@ -49,6 +49,7 @@ PI = PI_DEVICE
 SUBLANES = 32  # smaller than pallas_intersect's 64: scoped-VMEM headroom
 # (the 16MB cliff; see PERFORMANCE.md) at equal throughput — 128 loses ~20%
 LANES = pint.LANES
+TRI_CHUNK = pint.TRI_CHUNK
 
 
 def supported(scene) -> bool:
@@ -56,7 +57,7 @@ def supported(scene) -> bool:
 
     if os.environ.get("RT_DISABLE_WFKERNELS") == "1":
         return False
-    return pint.fused_supported(scene)
+    return pint.fused_supported(scene) or pint.chunked_trace_supported(scene)
 
 
 # -- in-kernel exact RNG (ops/rng.py parity, verified bitwise) -----------------
@@ -315,32 +316,20 @@ def _bsdf_sample(state, rd, n, color, metallic, alpha, f0):
 # -- TRACE kernel ---------------------------------------------------------------
 
 
-def _trace_kernel(n_sph, n_pln, n_tri, n_mat, env_w, env_h, *args):
-    refs = args[:18]
-    extras = args[18:30]
-    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-     sx_ref, sy_ref, sz_ref,
-     nu_ref, nv_ref, mu_ref, mv_ref, st_ref) = args[30:44]
+def _finish_trace(env_w, env_h, a, rd, nee_dir, nu, nv, mu, mv, state_in, outs):
+    """Shared trace epilogue: material-derived params, NEE partial shade,
+    GGX bounce sample (2 exact RNG draws), the fused quad fetch index,
+    and all 26 output writes. `a` is trace_attrs_body's dict."""
     (hit_ref, occ_ref,
      px_ref, py_ref, pz_ref,
      er_ref, eg_ref, eb_ref,
      ct_ref, ns0_ref, ns1_ref, ns2_ref, npdf_ref,
      bd0_ref, bd1_ref, bd2_ref, bpdf_ref,
      bs0_ref, bs1_ref, bs2_ref, bz_ref, cb_ref,
-     stout_ref, qidx_ref, fu_ref, fv_ref) = args[44:]
+     stout_ref, qidx_ref, fu_ref, fv_ref) = outs
 
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    sx, sy, sz = sx_ref[:], sy_ref[:], sz_ref[:]
-
-    a = pint.trace_attrs_body(
-        n_sph, n_pln, n_tri, n_mat, refs, extras,
-        ox, oy, oz, dx, dy, dz, sx, sy, sz,
-    )
     did_hit = a["did_hit"]
     normal = (a["nx"], a["ny"], a["nz"])
-    nee_dir = (sx, sy, sz)
-    rd = (dx, dy, dz)
 
     # material derived params (ops/bsdf.py:make_bsdf_material)
     color = (a["cr"], a["cg"], a["cb"])
@@ -353,20 +342,20 @@ def _trace_kernel(n_sph, n_pln, n_tri, n_mat, env_w, env_h, *args):
     # NEE partial shade (frame/eval/pdf need no radiance)
     cos_theta = jnp.maximum(0.0, _vdot(normal, nee_dir))
     frame = _make_frame(normal)
-    wo = _to_local(frame, (-dx, -dy, -dz))
+    wo = _to_local(frame, (-rd[0], -rd[1], -rd[2]))
     wi = _to_local(frame, nee_dir)
     nee_scatter = _bsdf_eval(wo, wi, color, a["metal"], alpha, f0)
     nee_pdf_b = _bsdf_pdf(wo, wi, f0, alpha)
 
     # bounce sample (2 RNG draws, exact stream parity)
     state, bdir, bscat, bpdf, bzero = _bsdf_sample(
-        st_ref[:], rd, normal, color, a["metal"], alpha, f0
+        state_in, rd, normal, color, a["metal"], alpha, f0
     )
     cos_bounce = jnp.maximum(0.0, _vdot(normal, bdir))
 
     # quad fetch index at the fused uv (ops/envmap.py:_quad_fetch)
-    fu = jnp.where(did_hit, nu_ref[:], mu_ref[:])
-    fv = jnp.where(did_hit, nv_ref[:], mv_ref[:])
+    fu = jnp.where(did_hit, nu, mu)
+    fv = jnp.where(did_hit, nv, mv)
     x0 = jnp.floor(fu * env_w - 0.5)
     y0 = jnp.floor(fv * env_h - 0.5)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, env_w - 1)
@@ -398,6 +387,28 @@ def _trace_kernel(n_sph, n_pln, n_tri, n_mat, env_w, env_h, *args):
     qidx_ref[:] = y0i * env_w + x0i
     fu_ref[:] = fu
     fv_ref[:] = fv
+
+
+def _trace_kernel(n_sph, n_pln, n_tri, n_mat, env_w, env_h, *args):
+    refs = args[:18]
+    extras = args[18:30]
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     sx_ref, sy_ref, sz_ref,
+     nu_ref, nv_ref, mu_ref, mv_ref, st_ref) = args[30:44]
+    outs = args[44:]
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    sx, sy, sz = sx_ref[:], sy_ref[:], sz_ref[:]
+
+    a = pint.trace_attrs_body(
+        n_sph, n_pln, n_tri, n_mat, refs, extras,
+        ox, oy, oz, dx, dy, dz, sx, sy, sz,
+    )
+    _finish_trace(
+        env_w, env_h, a, (dx, dy, dz), (sx, sy, sz),
+        nu_ref[:], nv_ref[:], mu_ref[:], mv_ref[:], st_ref[:], outs,
+    )
 
 
 # -- SHADE kernel ----------------------------------------------------------------
@@ -441,22 +452,62 @@ def _shade_kernel(
         # scalars
         scal_ref,  # SMEM f32: [max_y, aspect, cpx, cpy, cpz, r00..r22, L, Z]
         iscal_ref,  # SMEM u32: [it_next, spp, budget, stride, offset]
-        # outputs
+    ) = args[:55]
+    outs = args[55:]
+
+    v = dict(
+        hit=hit_ref[:], occ=occ_ref[:],
+        px=px_ref[:], py=py_ref[:], pz=pz_ref[:],
+        er=er_ref[:], eg=eg_ref[:], eb=eb_ref[:],
+        ct=ct_ref[:],
+        ns=(ns0_ref[:], ns1_ref[:], ns2_ref[:]), npdf=npdf_ref[:],
+        bd=(bd0_ref[:], bd1_ref[:], bd2_ref[:]), bpdf=bpdf_ref[:],
+        bs=(bs0_ref[:], bs1_ref[:], bs2_ref[:]), bz=bz_ref[:],
+        cb=cb_ref[:], state=st_ref[:],
+        fu=fu_ref[:], fv=fv_ref[:], npmf=npmf_ref[:],
+    )
+    carry = dict(
+        tp=(t0_ref[:], t1_ref[:], t2_ref[:]),
+        inc=(i0_ref[:], i1_ref[:], i2_ref[:]),
+        last_pdf=lp_ref[:], bounce=bn_ref[:], sample=smp_ref[:],
+        in_path=inp_ref[:],
+        film=(f0_ref[:], f1_ref[:], f2_ref[:]),
+        ro=(ro0_ref[:], ro1_ref[:], ro2_ref[:]),
+        rd=(rd0_ref[:], rd1_ref[:], rd2_ref[:]),
+    )
+    pix = (pixidx_ref[:], pixx_ref[:], pixy_ref[:], base_ref[:])
+    _shade_core(
+        env_w, env_h, width, height, max_bounces,
+        (q0_ref[:], q1_ref[:], q2_ref[:], q3_ref[:]),
+        v, carry, pix, scal_ref, iscal_ref, outs,
+    )
+
+
+def _shade_core(
+    env_w, env_h, width, height, max_bounces, q, v, carry, pix,
+    scal_ref, iscal_ref, outs,
+):
+    """Shade/regen body on VALUE tiles: RGBE decode + bilinear + pmf +
+    MIS + radiance accumulation + termination + film + regeneration.
+    `v` holds the trace products (see _shade_kernel); `carry` the loop
+    state; `outs` the 22 output refs."""
+    (
         ost_ref, oro0_ref, oro1_ref, oro2_ref,
         ord0_ref, ord1_ref, ord2_ref,
         ot0_ref, ot1_ref, ot2_ref, oi0_ref, oi1_ref, oi2_ref,
         olp_ref, obn_ref, osmp_ref, oinp_ref,
         of0_ref, of1_ref, of2_ref,
         oact_ref, ohit_ref,
-    ) = args
+    ) = outs
+    pixidx, pixx, pixy, base = pix
 
-    active = inp_ref[:] != 0
-    did_hit = hit_ref[:] != 0
+    active = carry["in_path"] != 0
+    did_hit = v["hit"] != 0
     is_hit = active & did_hit
     is_miss = active & ~did_hit
-    throughput = (t0_ref[:], t1_ref[:], t2_ref[:])
-    incoming = (i0_ref[:], i1_ref[:], i2_ref[:])
-    fu, fv = fu_ref[:], fv_ref[:]
+    throughput = carry["tp"]
+    incoming = carry["inc"]
+    fu, fv = v["fu"], v["fv"]
 
     # ---- quad row -> bilinear radiance + pmf (envmap.py rgbe path) ------
     x = fu * env_w - 0.5
@@ -467,10 +518,10 @@ def _shade_kernel(
     fy = jnp.where(y0 < 0, 0.0, y - y0)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, env_w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, env_h - 1)
-    c00 = _decode_rgbe(q0_ref[:])
-    c10 = _decode_rgbe(q1_ref[:])
-    c01 = _decode_rgbe(q2_ref[:])
-    c11 = _decode_rgbe(q3_ref[:])
+    c00 = _decode_rgbe(q[0])
+    c10 = _decode_rgbe(q[1])
+    c01 = _decode_rgbe(q[2])
+    c11 = _decode_rgbe(q[3])
     radiance = tuple(
         (c00[i] * (1.0 - fx) + c10[i] * fx) * (1.0 - fy)
         + (c01[i] * (1.0 - fx) + c11[i] * fx) * fy
@@ -501,7 +552,7 @@ def _shade_kernel(
         1.0 / length,
     )
 
-    pmf = jnp.where(is_hit, npmf_ref[:], quad_pmf)
+    pmf = jnp.where(is_hit, v["npmf"], quad_pmf)
     solid = (
         (2.0 * PI / env_w)
         * (PI / env_h)
@@ -510,7 +561,7 @@ def _shade_kernel(
     pdf_env = pmf / solid
 
     # ---- miss: environment light with MIS --------------------------------
-    last_pdf = lp_ref[:]
+    last_pdf = carry["last_pdf"]
     a2 = last_pdf * last_pdf
     b2 = pdf_env * pdf_env
     # bsdf.power_heuristic guards the denominator (both pdfs can
@@ -523,21 +574,21 @@ def _shade_kernel(
     )
 
     # ---- hit: emission + NEE ---------------------------------------------
-    emis = (er_ref[:], eg_ref[:], eb_ref[:])
+    emis = (v["er"], v["eg"], v["eb"])
     incoming = tuple(
         incoming[i] + jnp.where(is_hit, throughput[i] * emis[i], 0.0)
         for i in range(3)
     )
-    cos_theta = ct_ref[:]
-    npdf = npdf_ref[:]
+    cos_theta = v["ct"]
+    npdf = v["npdf"]
     e2 = pdf_env * pdf_env
     n2 = npdf * npdf
     nee_weight = e2 / jnp.maximum(e2 + n2, 1.0e-30)
     nee_ok = (
-        is_hit & (cos_theta > 0.0) & (pdf_env > 0.0) & (occ_ref[:] == 0)
+        is_hit & (cos_theta > 0.0) & (pdf_env > 0.0) & (v["occ"] == 0)
     )
     cos_over_pdf = cos_theta / jnp.maximum(pdf_env, 1.0e-30)
-    ns = (ns0_ref[:], ns1_ref[:], ns2_ref[:])
+    ns = v["ns"]
     incoming = tuple(
         incoming[i]
         + jnp.where(
@@ -549,20 +600,20 @@ def _shade_kernel(
     )
 
     # ---- bounce / termination --------------------------------------------
-    bzero = bz_ref[:] != 0
-    bscat = (bs0_ref[:], bs1_ref[:], bs2_ref[:])
+    bzero = v["bz"] != 0
+    bscat = v["bs"]
     error_lane = is_hit & bzero
     incoming = _vwhere(error_lane, bscat, incoming)
 
-    bpdf = bpdf_ref[:]
-    tp_scale = cb_ref[:] / jnp.maximum(bpdf, 1.0e-30)
+    bpdf = v["bpdf"]
+    tp_scale = v["cb"] / jnp.maximum(bpdf, 1.0e-30)
     new_tp = tuple(throughput[i] * bscat[i] * tp_scale for i in range(3))
     tp_norm = jnp.sqrt(
         new_tp[0] * new_tp[0]
         + new_tp[1] * new_tp[1]
         + new_tp[2] * new_tp[2]
     )
-    bounce = bn_ref[:] + 1
+    bounce = carry["bounce"] + 1
     continues = (
         is_hit
         & ~bzero
@@ -572,11 +623,11 @@ def _shade_kernel(
     )
     path_done = active & ~continues
 
-    film = (f0_ref[:], f1_ref[:], f2_ref[:])
     film = tuple(
-        film[i] + jnp.where(path_done, incoming[i], 0.0) for i in range(3)
+        carry["film"][i] + jnp.where(path_done, incoming[i], 0.0)
+        for i in range(3)
     )
-    sample = smp_ref[:]
+    sample = carry["sample"]
     next_sample = jnp.where(path_done, sample + jnp.uint32(1), sample)
 
     # ---- regenerate (render/wavefront.py:start_path) ----------------------
@@ -588,8 +639,8 @@ def _shade_kernel(
     regen = path_done & (next_sample < spp) & (it_next < budget)
 
     # seed(pixel_index, sample_map(base + next_sample)) — rng.py:seed
-    global_sample = (base_ref[:] + next_sample) * stride + offset
-    fstate = jnp.zeros_like(pixidx_ref[:]) ^ pixidx_ref[:]
+    global_sample = (base + next_sample) * stride + offset
+    fstate = jnp.zeros_like(pixidx) ^ pixidx
     fstate, _ = _rng_next(fstate)
     fstate = fstate ^ global_sample
     fstate, _ = _rng_next(fstate)
@@ -603,8 +654,8 @@ def _shade_kernel(
     # pinhole rays (render/wavefront.py:_camera_rays)
     max_y = scal_ref[0]
     aspect = scal_ref[1]
-    jpx = pixx_ref[:].astype(jnp.float32) + jx
-    jpy = pixy_ref[:].astype(jnp.float32) + jy
+    jpx = pixx.astype(jnp.float32) + jx
+    jpy = pixy.astype(jnp.float32) + jy
     sxn = jpx / width * 2.0 - 1.0
     syn = -(jpy / height * 2.0 - 1.0)
     rc0 = sxn * max_y * aspect
@@ -617,11 +668,11 @@ def _shade_kernel(
     fd0, fd1, fd2 = fd0 / fnorm, fd1 / fnorm, fd2 / fnorm
 
     in_path = (active & continues) | regen
-    state = jnp.where(regen, fstate, st_ref[:])
-    point = (px_ref[:], py_ref[:], pz_ref[:])
-    ro_old = (ro0_ref[:], ro1_ref[:], ro2_ref[:])
-    rd_old = (rd0_ref[:], rd1_ref[:], rd2_ref[:])
-    bdir = (bd0_ref[:], bd1_ref[:], bd2_ref[:])
+    state = jnp.where(regen, fstate, v["state"])
+    point = (v["px"], v["py"], v["pz"])
+    ro_old = carry["ro"]
+    rd_old = carry["rd"]
+    bdir = v["bd"]
     ro = _vwhere(regen, (scal_ref[2] + jnp.zeros_like(fd0),
                          scal_ref[3] + jnp.zeros_like(fd0),
                          scal_ref[4] + jnp.zeros_like(fd0)),
@@ -668,11 +719,24 @@ def _tiles(n_pad):
     return rows, grid, block, smem
 
 
+TRACE_OUT_NAMES = (
+    "hit", "occ", "px", "py", "pz", "er", "eg", "eb",
+    "ct", "ns0", "ns1", "ns2", "npdf",
+    "bd0", "bd1", "bd2", "bpdf", "bs0", "bs1", "bs2", "bz", "cb",
+    "state", "qidx", "fu", "fv",
+)
+_TRACE_OUT_DTYPES = {
+    "hit": jnp.int32, "occ": jnp.int32, "bz": jnp.int32,
+    "state": jnp.uint32, "qidx": jnp.int32,
+}
+
+
 def trace_call(scene, env_w, env_h, ro, rd, nee_dir, nee_uv, miss_uv, state):
     """Run the trace kernel over (rows, LANES)-tiled component arrays.
 
     ro/rd/nee_dir: 3-tuples of tiles; nee_uv/miss_uv: 2-tuples; state: u32
-    tile. Returns the 26 output tiles as a dict."""
+    tile. Returns the 26 output tiles as a dict (small unrolled scenes
+    only — big-triangle scenes use the chunked sweeps + big_shade_call)."""
     rows = state.shape[0]
     grid = rows // SUBLANES
     _, _, block, smem = _tiles(rows * LANES)
@@ -688,19 +752,11 @@ def trace_call(scene, env_w, env_h, ro, rd, nee_dir, nee_uv, miss_uv, state):
         scene.mat_metallic, scene.mat_emission,
     )
 
-    names = (
-        "hit", "occ", "px", "py", "pz", "er", "eg", "eb",
-        "ct", "ns0", "ns1", "ns2", "npdf",
-        "bd0", "bd1", "bd2", "bpdf", "bs0", "bs1", "bs2", "bz", "cb",
-        "state", "qidx", "fu", "fv",
-    )
-    dtypes = {
-        "hit": jnp.int32, "occ": jnp.int32, "bz": jnp.int32,
-        "state": jnp.uint32, "qidx": jnp.int32,
-    }
     outs = tuple(
-        jax.ShapeDtypeStruct((rows, LANES), dtypes.get(nm, jnp.float32))
-        for nm in names
+        jax.ShapeDtypeStruct(
+            (rows, LANES), _TRACE_OUT_DTYPES.get(nm, jnp.float32)
+        )
+        for nm in TRACE_OUT_NAMES
     )
     res = pl.pallas_call(
         partial(_trace_kernel, n_sph, n_pln, n_tri, n_mat, env_w, env_h),
@@ -715,7 +771,19 @@ def trace_call(scene, env_w, env_h, ro, rd, nee_dir, nee_uv, miss_uv, state):
         nee_dir[0], nee_dir[1], nee_dir[2],
         nee_uv[0], nee_uv[1], miss_uv[0], miss_uv[1], state,
     )
-    return dict(zip(names, res))
+    return dict(zip(TRACE_OUT_NAMES, res))
+
+
+SHADE_OUT_NAMES = (
+    "state", "ro0", "ro1", "ro2", "rd0", "rd1", "rd2",
+    "tp0", "tp1", "tp2", "inc0", "inc1", "inc2",
+    "last_pdf", "bounce", "sample", "in_path",
+    "film0", "film1", "film2", "active", "hitmask",
+)
+SHADE_OUT_DTYPES = {
+    "state": jnp.uint32, "bounce": jnp.int32, "sample": jnp.uint32,
+    "in_path": jnp.int32, "active": jnp.int32, "hitmask": jnp.int32,
+}
 
 
 def shade_call(
@@ -730,18 +798,11 @@ def shade_call(
     grid = rows // SUBLANES
     _, _, block, smem = _tiles(rows * LANES)
 
-    out_names = (
-        "state", "ro0", "ro1", "ro2", "rd0", "rd1", "rd2",
-        "tp0", "tp1", "tp2", "inc0", "inc1", "inc2",
-        "last_pdf", "bounce", "sample", "in_path",
-        "film0", "film1", "film2", "active", "hitmask",
-    )
-    dtypes = {
-        "state": jnp.uint32, "bounce": jnp.int32, "sample": jnp.uint32,
-        "in_path": jnp.int32, "active": jnp.int32, "hitmask": jnp.int32,
-    }
+    out_names = SHADE_OUT_NAMES
     outs = tuple(
-        jax.ShapeDtypeStruct((rows, LANES), dtypes.get(nm, jnp.float32))
+        jax.ShapeDtypeStruct(
+            (rows, LANES), SHADE_OUT_DTYPES.get(nm, jnp.float32)
+        )
         for nm in out_names
     )
     ins = (
@@ -772,4 +833,203 @@ def shade_call(
     )(*ins)
     out = dict(zip(out_names, res))
     new_carry = {k: out[k] for k in out_names[:-2]}
+    return new_carry, out["active"], out["hitmask"]
+
+
+# -- big-scene (chunked) variant: attrs via XLA takes, one mega-shade kernel ----
+#
+# Big-triangle scenes can't unroll the trace kernel; their closest hit and
+# NEE occlusion run as the chunked-grid sweep kernels
+# (ops/pallas_intersect.py). The winner-attribute ROWS are fetched by XLA
+# small-table takes (measured faster than in-kernel per-chunk selects,
+# which cost ~50% of a chunk sweep), and EVERYTHING elementwise after that
+# — normals, material values, NEE eval/pdf, the GGX bounce sample, and the
+# whole shade/regen body — runs in this single kernel, mirroring the
+# two-kernel split that lifted the small-scene path 34.7 -> 122.7 Mrays/s.
+
+
+def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
+    (
+        mat_color, mat_rough, mat_metal, mat_emis,  # SMEM tables
+        q0_ref, q1_ref, q2_ref, q3_ref,
+        hit_ref, occ_ref, btype_ref,
+        px_ref, py_ref, pz_ref,
+        scx_ref, scy_ref, scz_ref, srad_ref,  # taken sphere winner rows
+        pnx_ref, pny_ref, pnz_ref,  # taken plane winner normal
+        ta0_ref, ta1_ref, ta2_ref,  # taken tri winner rows
+        te00_ref, te01_ref, te02_ref,
+        te10_ref, te11_ref, te12_ref,
+        tn00_ref, tn01_ref, tn02_ref,
+        tn10_ref, tn11_ref, tn12_ref,
+        tn20_ref, tn21_ref, tn22_ref,
+        mid_ref,  # material id (i32)
+        sx_ref, sy_ref, sz_ref,  # NEE direction
+        st_ref,  # state (post alias draw)
+        fu_ref, fv_ref, npmf_ref,
+        # carry
+        t0_ref, t1_ref, t2_ref, i0_ref, i1_ref, i2_ref,
+        lp_ref, bn_ref, smp_ref, inp_ref,
+        f0_ref, f1_ref, f2_ref,
+        ro0_ref, ro1_ref, ro2_ref, rd0_ref, rd1_ref, rd2_ref,
+        # loop-invariant lanes
+        pixidx_ref, pixx_ref, pixy_ref, base_ref,
+        # scalars
+        scal_ref, iscal_ref,
+    ) = args[:72]
+    outs = args[72:]
+
+    ox, oy, oz = ro0_ref[:], ro1_ref[:], ro2_ref[:]
+    dx, dy, dz = rd0_ref[:], rd1_ref[:], rd2_ref[:]
+    rd = (dx, dy, dz)
+    nee_dir = (sx_ref[:], sy_ref[:], sz_ref[:])
+    px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+    btype = btype_ref[:]
+
+    # ---- winner normals from the taken rows ----------------------------
+    # sphere (ops/geometry.py::sphere_normal)
+    cx, cy, cz = scx_ref[:], scy_ref[:], scz_ref[:]
+    s_r = srad_ref[:]
+    snx = px - cx
+    sny = py - cy
+    snz = pz - cz
+    inv_len = 1.0 / jnp.sqrt(snx * snx + sny * sny + snz * snz)
+    snx, sny, snz = snx * inv_len, sny * inv_len, snz * inv_len
+    lx, ly, lz = cx - ox, cy - oy, cz - oz
+    inside = (lx * lx + ly * ly + lz * lz) - s_r * s_r < 1.0e-6
+    snx = jnp.where(inside, -snx, snx)
+    sny = jnp.where(inside, -sny, sny)
+    snz = jnp.where(inside, -snz, snz)
+    # plane with the origin-position flip quirk
+    pnx, pny, pnz = pnx_ref[:], pny_ref[:], pnz_ref[:]
+    flip = ox * pnx + oy * pny + oz * pnz < 0.0
+    pnx = jnp.where(flip, -pnx, pnx)
+    pny = jnp.where(flip, -pny, pny)
+    pnz = jnp.where(flip, -pnz, pnz)
+    # triangle: naive Moller-Trumbore recompute on the winner rows
+    tnx, tny, tnz = pint.tri_normal_recompute(
+        (ta0_ref[:], ta1_ref[:], ta2_ref[:]),
+        (te00_ref[:], te01_ref[:], te02_ref[:]),
+        (te10_ref[:], te11_ref[:], te12_ref[:]),
+        (tn00_ref[:], tn01_ref[:], tn02_ref[:]),
+        (tn10_ref[:], tn11_ref[:], tn12_ref[:]),
+        (tn20_ref[:], tn21_ref[:], tn22_ref[:]),
+        ox, oy, oz, dx, dy, dz,
+    )
+    is_s = btype == 0
+    is_p = btype == 1
+    normal = (
+        jnp.where(is_s, snx, jnp.where(is_p, pnx, tnx)),
+        jnp.where(is_s, sny, jnp.where(is_p, pny, tny)),
+        jnp.where(is_s, snz, jnp.where(is_p, pnz, tnz)),
+    )
+
+    # ---- material values (unrolled over the SMEM material table) -------
+    cr, cg, cb, rough, metal, er, eg, eb = pint.material_values(
+        n_mat, mat_color, mat_rough, mat_metal, mat_emis, mid_ref[:],
+        ox.shape,
+    )
+
+    # ---- trace epilogue (as _finish_trace, values staying in-register) --
+    color = (cr, cg, cb)
+    alpha = jnp.maximum(0.001, rough * rough)
+    msat = _saturate(metal)
+    f0 = tuple(
+        DIELECTRIC_F0 + (color[i] - DIELECTRIC_F0) * msat for i in range(3)
+    )
+    cos_theta = jnp.maximum(0.0, _vdot(normal, nee_dir))
+    frame = _make_frame(normal)
+    wo = _to_local(frame, (-dx, -dy, -dz))
+    wi = _to_local(frame, nee_dir)
+    nee_scatter = _bsdf_eval(wo, wi, color, metal, alpha, f0)
+    nee_pdf_b = _bsdf_pdf(wo, wi, f0, alpha)
+    state, bdir, bscat, bpdf, bzero = _bsdf_sample(
+        st_ref[:], rd, normal, color, metal, alpha, f0
+    )
+    cos_bounce = jnp.maximum(0.0, _vdot(normal, bdir))
+
+    v = dict(
+        hit=hit_ref[:], occ=occ_ref[:],
+        px=px, py=py, pz=pz,
+        er=er, eg=eg, eb=eb,
+        ct=cos_theta, ns=nee_scatter, npdf=nee_pdf_b,
+        bd=bdir, bpdf=bpdf, bs=bscat,
+        bz=bzero.astype(jnp.int32), cb=cos_bounce,
+        state=state,
+        fu=fu_ref[:], fv=fv_ref[:], npmf=npmf_ref[:],
+    )
+    carry = dict(
+        tp=(t0_ref[:], t1_ref[:], t2_ref[:]),
+        inc=(i0_ref[:], i1_ref[:], i2_ref[:]),
+        last_pdf=lp_ref[:], bounce=bn_ref[:], sample=smp_ref[:],
+        in_path=inp_ref[:],
+        film=(f0_ref[:], f1_ref[:], f2_ref[:]),
+        ro=(ox, oy, oz),
+        rd=rd,
+    )
+    pix = (pixidx_ref[:], pixx_ref[:], pixy_ref[:], base_ref[:])
+    _shade_core(
+        env_w, env_h, width, height, max_bounces,
+        (q0_ref[:], q1_ref[:], q2_ref[:], q3_ref[:]),
+        v, carry, pix, scal_ref, iscal_ref, outs,
+    )
+
+
+def big_shade_call(
+    scene, env_w, env_h, width, height, max_bounces,
+    qwords, tr, nee_dir, state, fu, fv, nee_pmf, carry,
+    pixel_index, pixel_x, pixel_y, base_sample, scal, iscal,
+):
+    """Run the big-scene mega-shade kernel. `tr` is a dict of tiles:
+    hit/occ/btype (i32), px/py/pz, the taken winner rows (scx..srad,
+    pnx..pnz, ta/te0/te1/tn0/tn1/tn2 3-tuples), and mid (i32). Returns
+    (new_carry, active_mask, hit_mask) like shade_call."""
+    rows = fu.shape[0]
+    grid = rows // SUBLANES
+    _, _, block, smem = _tiles(rows * LANES)
+    n_mat = scene.mat_roughness.shape[0]
+
+    outs = tuple(
+        jax.ShapeDtypeStruct((rows, LANES), SHADE_OUT_DTYPES.get(nm, jnp.float32))
+        for nm in SHADE_OUT_NAMES
+    )
+    ins = (
+        scene.mat_color, scene.mat_roughness, scene.mat_metallic,
+        scene.mat_emission,
+        qwords[0], qwords[1], qwords[2], qwords[3],
+        tr["hit"], tr["occ"], tr["btype"],
+        tr["px"], tr["py"], tr["pz"],
+        tr["scx"], tr["scy"], tr["scz"], tr["srad"],
+        tr["pnx"], tr["pny"], tr["pnz"],
+        tr["ta"][0], tr["ta"][1], tr["ta"][2],
+        tr["te0"][0], tr["te0"][1], tr["te0"][2],
+        tr["te1"][0], tr["te1"][1], tr["te1"][2],
+        tr["tn0"][0], tr["tn0"][1], tr["tn0"][2],
+        tr["tn1"][0], tr["tn1"][1], tr["tn1"][2],
+        tr["tn2"][0], tr["tn2"][1], tr["tn2"][2],
+        tr["mid"],
+        nee_dir[0], nee_dir[1], nee_dir[2],
+        state, fu, fv, nee_pmf,
+        carry["tp0"], carry["tp1"], carry["tp2"],
+        carry["inc0"], carry["inc1"], carry["inc2"],
+        carry["last_pdf"], carry["bounce"], carry["sample"],
+        carry["in_path"],
+        carry["film0"], carry["film1"], carry["film2"],
+        carry["ro0"], carry["ro1"], carry["ro2"],
+        carry["rd0"], carry["rd1"], carry["rd2"],
+        pixel_index, pixel_x, pixel_y, base_sample,
+        scal, iscal,
+    )
+    res = pl.pallas_call(
+        partial(
+            _big_shade_kernel, n_mat, env_w, env_h, width, height,
+            max_bounces,
+        ),
+        grid=(grid,),
+        in_specs=[smem] * 4 + [block] * 66 + [smem, smem],
+        out_specs=tuple(block for _ in outs),
+        out_shape=outs,
+        interpret=pint._interpret(),
+    )(*ins)
+    out = dict(zip(SHADE_OUT_NAMES, res))
+    new_carry = {k: out[k] for k in SHADE_OUT_NAMES[:-2]}
     return new_carry, out["active"], out["hitmask"]

@@ -405,8 +405,17 @@ def _kernel_loop(
     """The two-Pallas-kernel body (ops/pallas_wavefront.py): XLA keeps
     only the alias/quad gathers and the atan2/asin uv math. Identical
     estimator and RNG streams to the composed body above (the kernels
-    replicate every formula; in-kernel RNG is bitwise-equal)."""
+    replicate every formula; in-kernel RNG is bitwise-equal).
+
+    Big-triangle scenes (beyond the unroll budget) swap the fused trace
+    kernel for the chunked closest/occlusion sweep kernels plus XLA
+    winner-row takes, feeding one mega-shade kernel
+    (pallas_wavefront.big_shade_call) that holds every elementwise step —
+    normals, materials, NEE shade, GGX sample, MIS, film, regeneration."""
+    from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
     from rsoderh_raytracing_tpu.ops import pallas_wavefront as pwf
+
+    use_big = pint.chunked_trace_supported(scene)
 
     width, height = resolution
     n = pixel_index.shape[0]
@@ -493,17 +502,6 @@ def _kernel_loop(
         mv = (
             0.5 - jnp.arcsin(jnp.clip(c["rd1"], -1.0, 1.0)) * envmap.INV_PI
         )
-
-        tr = pwf.trace_call(
-            scene, env_w, env_h,
-            (c["ro0"], c["ro1"], c["ro2"]),
-            (c["rd0"], c["rd1"], c["rd2"]),
-            (nd[..., 0], nd[..., 1], nd[..., 2]),
-            (nee_uv[..., 0], nee_uv[..., 1]),
-            (mu, mv),
-            state,
-        )
-        qw = jnp.take(env.quad, tr["qidx"], axis=0)
         iscal = jnp.stack(
             [
                 lc["it"] + jnp.uint32(1),
@@ -513,12 +511,92 @@ def _kernel_loop(
                 map_offset,
             ]
         ).astype(jnp.uint32)
-        new_carry, act, hitm = pwf.shade_call(
-            env_w, env_h, width, height, max_bounces,
-            (qw[..., 0], qw[..., 1], qw[..., 2], qw[..., 3]),
-            tr, nee_pmf, c, pixidx_t, pixx_t, pixy_t, base_t,
-            scal, iscal,
-        )
+        nd_t = (nd[..., 0], nd[..., 1], nd[..., 2])
+
+        if use_big:
+            # Chunked sweep kernels + XLA winner-row takes
+            # (ops/intersect.py::_hit_attributes take semantics). The
+            # sweep kernels keep their native 64-sublane blocks when the
+            # lane count allows (fewer grid steps / window DMAs).
+            sub = pint.SUBLANES if rows % pint.SUBLANES == 0 else pwf.SUBLANES
+            ro_t = (c["ro0"], c["ro1"], c["ro2"])
+            rd_t = (c["rd0"], c["rd1"], c["rd2"])
+            t, btype, bidx = pint.chunked_closest_tiles(
+                scene, ro_t, rd_t, sublanes=sub
+            )
+            did_hit = btype >= 0
+            t_safe = jnp.where(did_hit, t, 0.0)
+            px = c["ro0"] + c["rd0"] * t_safe
+            py = c["ro1"] + c["rd1"] * t_safe
+            pz = c["ro2"] + c["rd2"] * t_safe
+            occ = pint.chunked_any_tiles(
+                scene, (px, py, pz), nd_t,
+                hit_mask=did_hit.astype(jnp.int32),
+                sublanes=sub,
+            )
+            idx_s = jnp.where(btype == 0, bidx, 0)
+            idx_p = jnp.where(btype == 1, bidx, 0)
+            idx_t = jnp.where(btype == 2, bidx, 0)
+
+            def take3(tbl, idx):
+                r = jnp.take(tbl, idx, axis=0)
+                return (r[..., 0], r[..., 1], r[..., 2])
+
+            mid = jnp.where(
+                btype == 0,
+                jnp.take(scene.sph_material, idx_s, axis=0),
+                jnp.where(
+                    btype == 1,
+                    jnp.take(scene.pln_material, idx_p, axis=0),
+                    jnp.take(scene.tri_material, idx_t, axis=0),
+                ),
+            )
+            scx, scy, scz = take3(scene.sph_pos, idx_s)
+            tr = dict(
+                hit=did_hit.astype(jnp.int32), occ=occ, btype=btype,
+                px=px, py=py, pz=pz,
+                scx=scx, scy=scy, scz=scz,
+                srad=jnp.take(scene.sph_radius, idx_s, axis=0),
+            )
+            tr["pnx"], tr["pny"], tr["pnz"] = take3(scene.pln_normal, idx_p)
+            tr["ta"] = take3(scene.tri_a, idx_t)
+            tr["te0"] = take3(scene.tri_edge0, idx_t)
+            tr["te1"] = take3(scene.tri_edge1, idx_t)
+            tr["tn0"] = take3(scene.tri_n0, idx_t)
+            tr["tn1"] = take3(scene.tri_n1, idx_t)
+            tr["tn2"] = take3(scene.tri_n2, idx_t)
+            tr["mid"] = mid
+            # fused fetch uv + quad row index (ops/envmap.py::_quad_fetch)
+            fu = jnp.where(did_hit, nee_uv[..., 0], mu)
+            fv = jnp.where(did_hit, nee_uv[..., 1], mv)
+            x0 = jnp.floor(fu * env_w - 0.5)
+            y0 = jnp.floor(fv * env_h - 0.5)
+            x0i = jnp.clip(x0.astype(jnp.int32), 0, env_w - 1)
+            y0i = jnp.clip(y0.astype(jnp.int32), 0, env_h - 1)
+            qw = jnp.take(env.quad, y0i * env_w + x0i, axis=0)
+            new_carry, act, hitm = pwf.big_shade_call(
+                scene, env_w, env_h, width, height, max_bounces,
+                (qw[..., 0], qw[..., 1], qw[..., 2], qw[..., 3]),
+                tr, nd_t, state, fu, fv, nee_pmf, c,
+                pixidx_t, pixx_t, pixy_t, base_t, scal, iscal,
+            )
+        else:
+            tr = pwf.trace_call(
+                scene, env_w, env_h,
+                (c["ro0"], c["ro1"], c["ro2"]),
+                (c["rd0"], c["rd1"], c["rd2"]),
+                nd_t,
+                (nee_uv[..., 0], nee_uv[..., 1]),
+                (mu, mv),
+                state,
+            )
+            qw = jnp.take(env.quad, tr["qidx"], axis=0)
+            new_carry, act, hitm = pwf.shade_call(
+                env_w, env_h, width, height, max_bounces,
+                (qw[..., 0], qw[..., 1], qw[..., 2], qw[..., 3]),
+                tr, nee_pmf, c, pixidx_t, pixx_t, pixy_t, base_t,
+                scal, iscal,
+            )
         return dict(
             carry=new_carry,
             it=lc["it"] + jnp.uint32(1),

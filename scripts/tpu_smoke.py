@@ -64,16 +64,37 @@ def main() -> int:
         render_wavefront(ds, env, cam, np.uint32(0), (size, size), np.uint32(1))
     )
     os.environ["RT_DISABLE_WFKERNELS"] = "1"
-    render_wavefront._clear_cache()
+    render_wavefront.clear_cache()
     img_x = np.asarray(
         render_wavefront(ds, env, cam, np.uint32(0), (size, size), np.uint32(1))
     )
     del os.environ["RT_DISABLE_WFKERNELS"]
-    render_wavefront._clear_cache()
+    render_wavefront.clear_cache()
     frac = float((np.abs(img_k - img_x).max(-1) <= 1e-5).mean())
     ok = frac > 0.995
     failures += not ok
     print(f"[{'ok' if ok else 'FAIL'}] kernel vs composed 1spp: "
+          f"{frac * 100:.2f}% pixels equal (expect > 99.5%)")
+
+    # 1b. big-scene (chunked + mega-shade) kernel path vs composed --------
+    suz = build_device_scene(load_scene("assets/scenes/suzanne.toml"))
+    assert pallas_intersect.chunked_trace_supported(suz), "big path off"
+    img_k = np.asarray(
+        render_wavefront(suz, env, cam, np.uint32(0), (size, size),
+                         np.uint32(1))
+    )
+    os.environ["RT_DISABLE_WFKERNELS"] = "1"
+    render_wavefront.clear_cache()
+    img_x = np.asarray(
+        render_wavefront(suz, env, cam, np.uint32(0), (size, size),
+                         np.uint32(1))
+    )
+    del os.environ["RT_DISABLE_WFKERNELS"]
+    render_wavefront.clear_cache()
+    frac = float((np.abs(img_k - img_x).max(-1) <= 1e-5).mean())
+    ok = frac > 0.995
+    failures += not ok
+    print(f"[{'ok' if ok else 'FAIL'}] big-scene kernel vs composed 1spp: "
           f"{frac * 100:.2f}% pixels equal (expect > 99.5%)")
 
     # 2. sharded == unsharded, bitwise ------------------------------------
