@@ -836,16 +836,55 @@ def shade_call(
     return new_carry, out["active"], out["hitmask"]
 
 
-# -- big-scene (chunked) variant: attrs via XLA takes, one mega-shade kernel ----
+# -- big-scene (chunked) variant: one winner take, one mega-shade kernel -------
 #
 # Big-triangle scenes can't unroll the trace kernel; their closest hit and
 # NEE occlusion run as the chunked-grid sweep kernels
-# (ops/pallas_intersect.py). The winner-attribute ROWS are fetched by XLA
-# small-table takes (measured faster than in-kernel per-chunk selects,
-# which cost ~50% of a chunk sweep), and EVERYTHING elementwise after that
-# — normals, material values, NEE eval/pdf, the GGX bounce sample, and the
-# whole shade/regen body — runs in this single kernel, mirroring the
-# two-kernel split that lifted the small-scene path 34.7 -> 122.7 Mrays/s.
+# (ops/pallas_intersect.py). The winner's attributes are fetched by ONE
+# XLA take from a unified (n_sph+n_pln+n_tri, 20)-f32 union-layout table
+# (winner_table below): small-table gathers are per-OP bound, not
+# row-size bound — 13 narrow takes cost 112 ms at 4.2M lanes where one
+# 80-byte-row take costs 18 ms (measured; scripts/takes_microbench.py).
+# In-kernel per-chunk selects were also measured and lose (~50% of a
+# chunk sweep). EVERYTHING elementwise after the take — normals, material
+# values, NEE eval/pdf, the GGX bounce sample, and the whole shade/regen
+# body — runs in this single kernel, mirroring the two-kernel split that
+# lifted the small-scene path 34.7 -> 122.7 Mrays/s.
+#
+# Union slot layout (per winner type; unused slots are zero):
+#   sphere: s0..s2 = pos, s3 = radius,                 s18 = material id
+#   plane:  s0..s2 = normal,                           s18 = material id
+#   tri:    s0..s2=a s3..s5=e0 s6..s8=e1
+#           s9..s11=n0 s12..s14=n1 s15..s17=n2,        s18 = material id
+# Material ids are stored as exact small-int f32; slot 19 pads the row
+# to 80 bytes.
+
+WINNER_SLOTS = 20
+
+
+def winner_table(scene):
+    """The unified (n_sph+n_pln+n_tri, WINNER_SLOTS) f32 winner-attribute
+    table. Built from device-scene fields under jit — loop-invariant, so
+    XLA hoists it out of the wavefront while_loop."""
+    n_sph = scene.sph_radius.shape[0]
+    n_pln = scene.pln_valid.shape[0]
+    n_tri = scene.tri_valid.shape[0]
+    sph = jnp.zeros((n_sph, WINNER_SLOTS), jnp.float32)
+    sph = sph.at[:, 0:3].set(scene.sph_pos)
+    sph = sph.at[:, 3].set(scene.sph_radius)
+    sph = sph.at[:, 18].set(scene.sph_material.astype(jnp.float32))
+    pln = jnp.zeros((n_pln, WINNER_SLOTS), jnp.float32)
+    pln = pln.at[:, 0:3].set(scene.pln_normal)
+    pln = pln.at[:, 18].set(scene.pln_material.astype(jnp.float32))
+    tri = jnp.zeros((n_tri, WINNER_SLOTS), jnp.float32)
+    tri = tri.at[:, 0:3].set(scene.tri_a)
+    tri = tri.at[:, 3:6].set(scene.tri_edge0)
+    tri = tri.at[:, 6:9].set(scene.tri_edge1)
+    tri = tri.at[:, 9:12].set(scene.tri_n0)
+    tri = tri.at[:, 12:15].set(scene.tri_n1)
+    tri = tri.at[:, 15:18].set(scene.tri_n2)
+    tri = tri.at[:, 18].set(scene.tri_material.astype(jnp.float32))
+    return jnp.concatenate([sph, pln, tri], axis=0)
 
 
 def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
@@ -854,15 +893,9 @@ def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
         q0_ref, q1_ref, q2_ref, q3_ref,
         hit_ref, occ_ref, btype_ref,
         px_ref, py_ref, pz_ref,
-        scx_ref, scy_ref, scz_ref, srad_ref,  # taken sphere winner rows
-        pnx_ref, pny_ref, pnz_ref,  # taken plane winner normal
-        ta0_ref, ta1_ref, ta2_ref,  # taken tri winner rows
-        te00_ref, te01_ref, te02_ref,
-        te10_ref, te11_ref, te12_ref,
-        tn00_ref, tn01_ref, tn02_ref,
-        tn10_ref, tn11_ref, tn12_ref,
-        tn20_ref, tn21_ref, tn22_ref,
-        mid_ref,  # material id (i32)
+    ) = args[:14]
+    s = args[14:33]  # winner_table slots s0..s18 (union layout above)
+    (
         sx_ref, sy_ref, sz_ref,  # NEE direction
         st_ref,  # state (post alias draw)
         fu_ref, fv_ref, npmf_ref,
@@ -875,8 +908,8 @@ def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
         pixidx_ref, pixx_ref, pixy_ref, base_ref,
         # scalars
         scal_ref, iscal_ref,
-    ) = args[:72]
-    outs = args[72:]
+    ) = args[33:65]
+    outs = args[65:]
 
     ox, oy, oz = ro0_ref[:], ro1_ref[:], ro2_ref[:]
     dx, dy, dz = rd0_ref[:], rd1_ref[:], rd2_ref[:]
@@ -885,10 +918,10 @@ def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
     px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
     btype = btype_ref[:]
 
-    # ---- winner normals from the taken rows ----------------------------
+    # ---- winner normals from the taken union row -----------------------
     # sphere (ops/geometry.py::sphere_normal)
-    cx, cy, cz = scx_ref[:], scy_ref[:], scz_ref[:]
-    s_r = srad_ref[:]
+    cx, cy, cz = s[0][:], s[1][:], s[2][:]
+    s_r = s[3][:]
     snx = px - cx
     sny = py - cy
     snz = pz - cz
@@ -899,20 +932,21 @@ def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
     snx = jnp.where(inside, -snx, snx)
     sny = jnp.where(inside, -sny, sny)
     snz = jnp.where(inside, -snz, snz)
-    # plane with the origin-position flip quirk
-    pnx, pny, pnz = pnx_ref[:], pny_ref[:], pnz_ref[:]
+    # plane with the origin-position flip quirk (slots 0..2 again: the
+    # union row holds the plane normal there for plane winners)
+    pnx, pny, pnz = cx, cy, cz
     flip = ox * pnx + oy * pny + oz * pnz < 0.0
     pnx = jnp.where(flip, -pnx, pnx)
     pny = jnp.where(flip, -pny, pny)
     pnz = jnp.where(flip, -pnz, pnz)
     # triangle: naive Moller-Trumbore recompute on the winner rows
     tnx, tny, tnz = pint.tri_normal_recompute(
-        (ta0_ref[:], ta1_ref[:], ta2_ref[:]),
-        (te00_ref[:], te01_ref[:], te02_ref[:]),
-        (te10_ref[:], te11_ref[:], te12_ref[:]),
-        (tn00_ref[:], tn01_ref[:], tn02_ref[:]),
-        (tn10_ref[:], tn11_ref[:], tn12_ref[:]),
-        (tn20_ref[:], tn21_ref[:], tn22_ref[:]),
+        (cx, cy, cz),
+        (s[3][:], s[4][:], s[5][:]),
+        (s[6][:], s[7][:], s[8][:]),
+        (s[9][:], s[10][:], s[11][:]),
+        (s[12][:], s[13][:], s[14][:]),
+        (s[15][:], s[16][:], s[17][:]),
         ox, oy, oz, dx, dy, dz,
     )
     is_s = btype == 0
@@ -924,9 +958,10 @@ def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
     )
 
     # ---- material values (unrolled over the SMEM material table) -------
+    # slot 18 carries the winner's material id as an exact small-int f32
     cr, cg, cb, rough, metal, er, eg, eb = pint.material_values(
-        n_mat, mat_color, mat_rough, mat_metal, mat_emis, mid_ref[:],
-        ox.shape,
+        n_mat, mat_color, mat_rough, mat_metal, mat_emis,
+        s[18][:].astype(jnp.int32), ox.shape,
     )
 
     # ---- trace epilogue (as _finish_trace, values staying in-register) --
@@ -976,13 +1011,14 @@ def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
 
 def big_shade_call(
     scene, env_w, env_h, width, height, max_bounces,
-    qwords, tr, nee_dir, state, fu, fv, nee_pmf, carry,
+    qwords, tr, slots, nee_dir, state, fu, fv, nee_pmf, carry,
     pixel_index, pixel_x, pixel_y, base_sample, scal, iscal,
 ):
     """Run the big-scene mega-shade kernel. `tr` is a dict of tiles:
-    hit/occ/btype (i32), px/py/pz, the taken winner rows (scx..srad,
-    pnx..pnz, ta/te0/te1/tn0/tn1/tn2 3-tuples), and mid (i32). Returns
-    (new_carry, active_mask, hit_mask) like shade_call."""
+    hit/occ/btype (i32) and px/py/pz; `slots` is the 19-tuple of
+    winner_table slot tiles (one XLA take, union layout — see the
+    section comment). Returns (new_carry, active_mask, hit_mask) like
+    shade_call."""
     rows = fu.shape[0]
     grid = rows // SUBLANES
     _, _, block, smem = _tiles(rows * LANES)
@@ -998,15 +1034,7 @@ def big_shade_call(
         qwords[0], qwords[1], qwords[2], qwords[3],
         tr["hit"], tr["occ"], tr["btype"],
         tr["px"], tr["py"], tr["pz"],
-        tr["scx"], tr["scy"], tr["scz"], tr["srad"],
-        tr["pnx"], tr["pny"], tr["pnz"],
-        tr["ta"][0], tr["ta"][1], tr["ta"][2],
-        tr["te0"][0], tr["te0"][1], tr["te0"][2],
-        tr["te1"][0], tr["te1"][1], tr["te1"][2],
-        tr["tn0"][0], tr["tn0"][1], tr["tn0"][2],
-        tr["tn1"][0], tr["tn1"][1], tr["tn1"][2],
-        tr["tn2"][0], tr["tn2"][1], tr["tn2"][2],
-        tr["mid"],
+        *slots,
         nee_dir[0], nee_dir[1], nee_dir[2],
         state, fu, fv, nee_pmf,
         carry["tp0"], carry["tp1"], carry["tp2"],
@@ -1025,7 +1053,7 @@ def big_shade_call(
             max_bounces,
         ),
         grid=(grid,),
-        in_specs=[smem] * 4 + [block] * 66 + [smem, smem],
+        in_specs=[smem] * 4 + [block] * 59 + [smem, smem],
         out_specs=tuple(block for _ in outs),
         out_shape=outs,
         interpret=pint._interpret(),

@@ -416,6 +416,8 @@ def _kernel_loop(
     from rsoderh_raytracing_tpu.ops import pallas_wavefront as pwf
 
     use_big = pint.chunked_trace_supported(scene)
+    # Loop-invariant: XLA hoists the table build out of the while_loop.
+    wtable = pwf.winner_table(scene) if use_big else None
 
     width, height = resolution
     n = pixel_index.shape[0]
@@ -514,10 +516,12 @@ def _kernel_loop(
         nd_t = (nd[..., 0], nd[..., 1], nd[..., 2])
 
         if use_big:
-            # Chunked sweep kernels + XLA winner-row takes
-            # (ops/intersect.py::_hit_attributes take semantics). The
-            # sweep kernels keep their native 64-sublane blocks when the
-            # lane count allows (fewer grid steps / window DMAs).
+            # Chunked sweep kernels + ONE unified winner take
+            # (pallas_wavefront.winner_table union rows; 13 narrow takes
+            # cost 112 ms at 4.2M lanes, one 80B-row take 18 ms —
+            # scripts/takes_microbench.py). The sweep kernels keep their
+            # native 64-sublane blocks when the lane count allows (fewer
+            # grid steps / window DMAs).
             sub = pint.SUBLANES if rows % pint.SUBLANES == 0 else pwf.SUBLANES
             ro_t = (c["ro0"], c["ro1"], c["ro2"])
             rd_t = (c["rd0"], c["rd1"], c["rd2"])
@@ -534,38 +538,21 @@ def _kernel_loop(
                 hit_mask=did_hit.astype(jnp.int32),
                 sublanes=sub,
             )
-            idx_s = jnp.where(btype == 0, bidx, 0)
-            idx_p = jnp.where(btype == 1, bidx, 0)
-            idx_t = jnp.where(btype == 2, bidx, 0)
-
-            def take3(tbl, idx):
-                r = jnp.take(tbl, idx, axis=0)
-                return (r[..., 0], r[..., 1], r[..., 2])
-
-            mid = jnp.where(
-                btype == 0,
-                jnp.take(scene.sph_material, idx_s, axis=0),
+            n_sph = scene.sph_radius.shape[0]
+            n_pln = scene.pln_valid.shape[0]
+            gidx = jnp.where(
+                btype == 0, bidx,
                 jnp.where(
-                    btype == 1,
-                    jnp.take(scene.pln_material, idx_p, axis=0),
-                    jnp.take(scene.tri_material, idx_t, axis=0),
+                    btype == 1, n_sph + bidx,
+                    jnp.where(btype == 2, n_sph + n_pln + bidx, 0),
                 ),
             )
-            scx, scy, scz = take3(scene.sph_pos, idx_s)
+            srow = jnp.take(wtable, gidx, axis=0)
+            slots = tuple(srow[..., i] for i in range(19))
             tr = dict(
                 hit=did_hit.astype(jnp.int32), occ=occ, btype=btype,
                 px=px, py=py, pz=pz,
-                scx=scx, scy=scy, scz=scz,
-                srad=jnp.take(scene.sph_radius, idx_s, axis=0),
             )
-            tr["pnx"], tr["pny"], tr["pnz"] = take3(scene.pln_normal, idx_p)
-            tr["ta"] = take3(scene.tri_a, idx_t)
-            tr["te0"] = take3(scene.tri_edge0, idx_t)
-            tr["te1"] = take3(scene.tri_edge1, idx_t)
-            tr["tn0"] = take3(scene.tri_n0, idx_t)
-            tr["tn1"] = take3(scene.tri_n1, idx_t)
-            tr["tn2"] = take3(scene.tri_n2, idx_t)
-            tr["mid"] = mid
             # fused fetch uv + quad row index (ops/envmap.py::_quad_fetch)
             fu = jnp.where(did_hit, nee_uv[..., 0], mu)
             fv = jnp.where(did_hit, nee_uv[..., 1], mv)
@@ -577,7 +564,7 @@ def _kernel_loop(
             new_carry, act, hitm = pwf.big_shade_call(
                 scene, env_w, env_h, width, height, max_bounces,
                 (qw[..., 0], qw[..., 1], qw[..., 2], qw[..., 3]),
-                tr, nd_t, state, fu, fv, nee_pmf, c,
+                tr, slots, nd_t, state, fu, fv, nee_pmf, c,
                 pixidx_t, pixx_t, pixy_t, base_t, scal, iscal,
             )
         else:
