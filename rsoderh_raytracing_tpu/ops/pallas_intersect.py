@@ -412,6 +412,57 @@ def tri_chunk_hits(tri_refs, ox, oy, oz, dx, dy, dz):
         yield i, t, hit
 
 
+def tri_chunk_occluded(tri_refs, ox, oy, oz, dx, dy, dz):
+    """Yield hit-only masks for a chunk window, DIVISION-FREE: every
+    quotient comparison of tri_chunk_hits is replaced by its sign-scaled
+    numerator form (u >= 0  <=>  u_num*sign(det) >= 0;  u <= 1  <=>
+    u_num*sign(det) <= |det|;  t >= eps  <=>  t_num*sign(det) >=
+    eps*|det|). Mathematically identical predicates; float results can
+    differ only where a rounded quotient lands exactly on a comparison
+    boundary (ulp-scale bands — the same rare class as the documented
+    fma-contraction trajectory flips). Occlusion needs no t value, so
+    the per-triangle divide disappears entirely."""
+    (
+        tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
+        tri_valid,
+    ) = tri_refs
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    for i in range(TRI_CHUNK):
+        det = (
+            dx * tri_cdet[i, 0]
+            + dy * tri_cdet[i, 1]
+            + dz * tri_cdet[i, 2]
+        )
+        adet = jnp.abs(det)
+        neg = det < 0.0
+        un = (
+            (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
+            + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
+        )
+        un = jnp.where(neg, -un, un)
+        vn = -(
+            (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
+            + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
+        )
+        vn = jnp.where(neg, -vn, vn)
+        tn = (
+            (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
+            - tri_adotn[i, 0]
+        )
+        tn = jnp.where(neg, -tn, tn)
+        yield (
+            (adet >= geo.TRI_DET_EPS)
+            & (un >= 0.0)
+            & (un <= adet)
+            & (vn >= 0.0)
+            & (un + vn <= adet)
+            & (tn >= geo.TRI_T_EPS * adet)
+            & (tri_valid[i, 0] > 0)
+        )
+
+
 def _chunked_closest_kernel(n_sph, n_pln, *args):
     """Grid (ray_blocks, tri_chunks): out blocks are revisited across the
     chunk axis (innermost), accumulating the closest hit; spheres+planes
@@ -498,7 +549,7 @@ def _chunked_any_kernel(n_sph, n_pln, use_mask, *args):
     @pl.when(chunk_live)
     def _():
         occ = occ_ref[:] != 0
-        for _i, _t, hit in tri_chunk_hits(tri_refs, ox, oy, oz, dx, dy, dz):
+        for hit in tri_chunk_occluded(tri_refs, ox, oy, oz, dx, dy, dz):
             occ = occ | hit
         occ_ref[:] = occ.astype(jnp.int32)
 
