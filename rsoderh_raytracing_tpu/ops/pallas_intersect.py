@@ -595,6 +595,11 @@ def _chunked_tiles_call(
 ):
     rows = comps[0].shape[0]
     sub = sublanes or SUBLANES
+    if rows % sub:
+        raise ValueError(
+            f"rows ({rows}) must divide by sublanes ({sub}): a floored "
+            "grid would leave output rows uninitialized"
+        )
     grid_rays = rows // sub
 
     n_sph = scene.sph_radius.shape[0]
@@ -831,19 +836,9 @@ def winner_scalar(best_type, best_idx, ptype, tbl, count, shape):
     return v
 
 
-def small_winner_normals(
-    n_sph, n_pln, refs, sph_radius, sph_mat, pln_mat,
-    best_type, best_idx, ox, oy, oz, px, py, pz,
-):
-    """Sphere + plane winner normals and material ids from the FULL SMEM
-    tables. Returns ((snx,sny,snz), (pnx,pny,pnz), m_s, m_p)."""
-    shape = ox.shape
-
-    # --- sphere normal (ops/geometry.py::sphere_normal) -----------------
-    ((cx, cy, cz),) = winner_rows(
-        best_type, best_idx, 0, [refs[0]], n_sph, shape
-    )
-    s_r = winner_scalar(best_type, best_idx, 0, sph_radius, n_sph, shape)
+def sphere_normal_values(cx, cy, cz, s_r, ox, oy, oz, px, py, pz):
+    """Sphere winner normal from taken center/radius VALUES
+    (ops/geometry.py::sphere_normal): unit (p - c) with the inside flip."""
     snx = px - cx
     sny = py - cy
     snz = pz - cz
@@ -854,19 +849,41 @@ def small_winner_normals(
     snx = jnp.where(inside, -snx, snx)
     sny = jnp.where(inside, -sny, sny)
     snz = jnp.where(inside, -snz, snz)
+    return snx, sny, snz
 
-    # --- plane normal with the origin-position flip quirk ---------------
-    ((pnx, pny, pnz),) = winner_rows(
-        best_type, best_idx, 1, [refs[3]], n_pln, shape
-    )
+
+def plane_normal_values(pnx, pny, pnz, ox, oy, oz):
+    """Plane winner normal from taken normal VALUES, with the reference's
+    origin-position flip quirk (flips toward the side of the ORIGIN)."""
     flip = ox * pnx + oy * pny + oz * pnz < 0.0
     pnx = jnp.where(flip, -pnx, pnx)
     pny = jnp.where(flip, -pny, pny)
     pnz = jnp.where(flip, -pnz, pnz)
+    return pnx, pny, pnz
+
+
+def small_winner_normals(
+    n_sph, n_pln, refs, sph_radius, sph_mat, pln_mat,
+    best_type, best_idx, ox, oy, oz, px, py, pz,
+):
+    """Sphere + plane winner normals and material ids from the FULL SMEM
+    tables. Returns ((snx,sny,snz), (pnx,pny,pnz), m_s, m_p)."""
+    shape = ox.shape
+
+    ((cx, cy, cz),) = winner_rows(
+        best_type, best_idx, 0, [refs[0]], n_sph, shape
+    )
+    s_r = winner_scalar(best_type, best_idx, 0, sph_radius, n_sph, shape)
+    sn = sphere_normal_values(cx, cy, cz, s_r, ox, oy, oz, px, py, pz)
+
+    ((pnx, pny, pnz),) = winner_rows(
+        best_type, best_idx, 1, [refs[3]], n_pln, shape
+    )
+    pn = plane_normal_values(pnx, pny, pnz, ox, oy, oz)
 
     m_s = winner_scalar(best_type, best_idx, 0, sph_mat, n_sph, shape)
     m_p = winner_scalar(best_type, best_idx, 1, pln_mat, n_pln, shape)
-    return (snx, sny, snz), (pnx, pny, pnz), m_s, m_p
+    return sn, pn, m_s, m_p
 
 
 def tri_normal_recompute(a, e0, e1, tn0, tn1, tn2, ox, oy, oz, dx, dy, dz):

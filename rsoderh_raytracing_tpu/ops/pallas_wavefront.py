@@ -316,10 +316,39 @@ def _bsdf_sample(state, rd, n, color, metallic, alpha, f0):
 # -- TRACE kernel ---------------------------------------------------------------
 
 
+def trace_epilogue(rd, nee_dir, normal, color, rough, metal, state_in):
+    """PARITY-CRITICAL shared epilogue after winner attributes are known:
+    material-derived params (ops/bsdf.py:make_bsdf_material), NEE partial
+    shade (frame/eval/pdf need no radiance), and the GGX bounce sample
+    (2 exact RNG draws). The single source for both the small-scene trace
+    kernel (_finish_trace) and the big-scene mega-shade kernel — any
+    estimator fix lands in both paths at once. Returns (cos_theta,
+    nee_scatter, nee_pdf_b, state, bdir, bscat, bpdf, bzero,
+    cos_bounce)."""
+    alpha = jnp.maximum(0.001, rough * rough)
+    msat = _saturate(metal)
+    f0 = tuple(
+        DIELECTRIC_F0 + (color[i] - DIELECTRIC_F0) * msat for i in range(3)
+    )
+    cos_theta = jnp.maximum(0.0, _vdot(normal, nee_dir))
+    frame = _make_frame(normal)
+    wo = _to_local(frame, (-rd[0], -rd[1], -rd[2]))
+    wi = _to_local(frame, nee_dir)
+    nee_scatter = _bsdf_eval(wo, wi, color, metal, alpha, f0)
+    nee_pdf_b = _bsdf_pdf(wo, wi, f0, alpha)
+    state, bdir, bscat, bpdf, bzero = _bsdf_sample(
+        state_in, rd, normal, color, metal, alpha, f0
+    )
+    cos_bounce = jnp.maximum(0.0, _vdot(normal, bdir))
+    return (
+        cos_theta, nee_scatter, nee_pdf_b, state, bdir, bscat, bpdf,
+        bzero, cos_bounce,
+    )
+
+
 def _finish_trace(env_w, env_h, a, rd, nee_dir, nu, nv, mu, mv, state_in, outs):
-    """Shared trace epilogue: material-derived params, NEE partial shade,
-    GGX bounce sample (2 exact RNG draws), the fused quad fetch index,
-    and all 26 output writes. `a` is trace_attrs_body's dict."""
+    """Shared trace epilogue (trace_epilogue) plus the fused quad fetch
+    index and all 26 output writes. `a` is trace_attrs_body's dict."""
     (hit_ref, occ_ref,
      px_ref, py_ref, pz_ref,
      er_ref, eg_ref, eb_ref,
@@ -330,28 +359,13 @@ def _finish_trace(env_w, env_h, a, rd, nee_dir, nu, nv, mu, mv, state_in, outs):
 
     did_hit = a["did_hit"]
     normal = (a["nx"], a["ny"], a["nz"])
-
-    # material derived params (ops/bsdf.py:make_bsdf_material)
-    color = (a["cr"], a["cg"], a["cb"])
-    alpha = jnp.maximum(0.001, a["rough"] * a["rough"])
-    msat = _saturate(a["metal"])
-    f0 = tuple(
-        DIELECTRIC_F0 + (color[i] - DIELECTRIC_F0) * msat for i in range(3)
+    (
+        cos_theta, nee_scatter, nee_pdf_b, state, bdir, bscat, bpdf,
+        bzero, cos_bounce,
+    ) = trace_epilogue(
+        rd, nee_dir, normal, (a["cr"], a["cg"], a["cb"]), a["rough"],
+        a["metal"], state_in,
     )
-
-    # NEE partial shade (frame/eval/pdf need no radiance)
-    cos_theta = jnp.maximum(0.0, _vdot(normal, nee_dir))
-    frame = _make_frame(normal)
-    wo = _to_local(frame, (-rd[0], -rd[1], -rd[2]))
-    wi = _to_local(frame, nee_dir)
-    nee_scatter = _bsdf_eval(wo, wi, color, a["metal"], alpha, f0)
-    nee_pdf_b = _bsdf_pdf(wo, wi, f0, alpha)
-
-    # bounce sample (2 RNG draws, exact stream parity)
-    state, bdir, bscat, bpdf, bzero = _bsdf_sample(
-        state_in, rd, normal, color, a["metal"], alpha, f0
-    )
-    cos_bounce = jnp.maximum(0.0, _vdot(normal, bdir))
 
     # quad fetch index at the fused uv (ops/envmap.py:_quad_fetch)
     fu = jnp.where(did_hit, nu, mu)
@@ -919,26 +933,14 @@ def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
     btype = btype_ref[:]
 
     # ---- winner normals from the taken union row -----------------------
-    # sphere (ops/geometry.py::sphere_normal)
     cx, cy, cz = s[0][:], s[1][:], s[2][:]
     s_r = s[3][:]
-    snx = px - cx
-    sny = py - cy
-    snz = pz - cz
-    inv_len = 1.0 / jnp.sqrt(snx * snx + sny * sny + snz * snz)
-    snx, sny, snz = snx * inv_len, sny * inv_len, snz * inv_len
-    lx, ly, lz = cx - ox, cy - oy, cz - oz
-    inside = (lx * lx + ly * ly + lz * lz) - s_r * s_r < 1.0e-6
-    snx = jnp.where(inside, -snx, snx)
-    sny = jnp.where(inside, -sny, sny)
-    snz = jnp.where(inside, -snz, snz)
-    # plane with the origin-position flip quirk (slots 0..2 again: the
-    # union row holds the plane normal there for plane winners)
-    pnx, pny, pnz = cx, cy, cz
-    flip = ox * pnx + oy * pny + oz * pnz < 0.0
-    pnx = jnp.where(flip, -pnx, pnx)
-    pny = jnp.where(flip, -pny, pny)
-    pnz = jnp.where(flip, -pnz, pnz)
+    snx, sny, snz = pint.sphere_normal_values(
+        cx, cy, cz, s_r, ox, oy, oz, px, py, pz
+    )
+    # slots 0..2 again: the union row holds the plane normal there for
+    # plane winners
+    pnx, pny, pnz = pint.plane_normal_values(cx, cy, cz, ox, oy, oz)
     # triangle: naive Moller-Trumbore recompute on the winner rows
     tnx, tny, tnz = pint.tri_normal_recompute(
         (cx, cy, cz),
@@ -964,23 +966,13 @@ def _big_shade_kernel(n_mat, env_w, env_h, width, height, max_bounces, *args):
         s[18][:].astype(jnp.int32), ox.shape,
     )
 
-    # ---- trace epilogue (as _finish_trace, values staying in-register) --
-    color = (cr, cg, cb)
-    alpha = jnp.maximum(0.001, rough * rough)
-    msat = _saturate(metal)
-    f0 = tuple(
-        DIELECTRIC_F0 + (color[i] - DIELECTRIC_F0) * msat for i in range(3)
+    # ---- trace epilogue (shared with _finish_trace, in-register) --------
+    (
+        cos_theta, nee_scatter, nee_pdf_b, state, bdir, bscat, bpdf,
+        bzero, cos_bounce,
+    ) = trace_epilogue(
+        rd, nee_dir, normal, (cr, cg, cb), rough, metal, st_ref[:]
     )
-    cos_theta = jnp.maximum(0.0, _vdot(normal, nee_dir))
-    frame = _make_frame(normal)
-    wo = _to_local(frame, (-dx, -dy, -dz))
-    wi = _to_local(frame, nee_dir)
-    nee_scatter = _bsdf_eval(wo, wi, color, metal, alpha, f0)
-    nee_pdf_b = _bsdf_pdf(wo, wi, f0, alpha)
-    state, bdir, bscat, bpdf, bzero = _bsdf_sample(
-        st_ref[:], rd, normal, color, metal, alpha, f0
-    )
-    cos_bounce = jnp.maximum(0.0, _vdot(normal, bdir))
 
     v = dict(
         hit=hit_ref[:], occ=occ_ref[:],

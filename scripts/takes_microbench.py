@@ -99,25 +99,13 @@ def main() -> int:
 
     timeit("packed tri take (1x72B rows)", jax.jit(packed_take), btype, bidx)
 
-    # Unified winner table: union layout over sphere/plane/tri + mat id.
+    # The production unified winner table (union layout; keep this the
+    # real thing so the numbers keep describing the shipped path).
+    from rsoderh_raytracing_tpu.ops import pallas_wavefront as pwf
+
     n_sph = scene.sph_radius.shape[0]
     n_pln = scene.pln_valid.shape[0]
-    SLOTS = 20
-
-    def build_table():
-        sph = jnp.zeros((n_sph, SLOTS), jnp.float32)
-        sph = sph.at[:, 0:3].set(scene.sph_pos)
-        sph = sph.at[:, 3].set(scene.sph_radius)
-        sph = sph.at[:, 18].set(scene.sph_material.astype(jnp.float32))
-        pln = jnp.zeros((n_pln, SLOTS), jnp.float32)
-        pln = pln.at[:, 0:3].set(scene.pln_normal)
-        pln = pln.at[:, 18].set(scene.pln_material.astype(jnp.float32))
-        tri = jnp.zeros((n_tri, SLOTS), jnp.float32)
-        tri = tri.at[:, 0:18].set(packed)
-        tri = tri.at[:, 18].set(scene.tri_material.astype(jnp.float32))
-        return jnp.concatenate([sph, pln, tri], axis=0)
-
-    table = jax.jit(build_table)()
+    table = jax.jit(pwf.winner_table)(scene)
     print("unified table:", table.shape)
 
     def unified_take(btype, bidx):

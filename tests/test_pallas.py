@@ -265,3 +265,124 @@ def test_chunked_any_matches_xla_suzanne(assets_dir):
     assert a.dtype == bool and a.shape == (300,)
     np.testing.assert_array_equal(a, ty_x >= 0)
     assert a.sum() > 20
+
+
+def test_divfree_occlusion_predicates_adversarial():
+    """tri_chunk_occluded (division-free occlusion) agrees with
+    tri_chunk_hits' quotient predicates on adversarial triangles: dets
+    straddling TRI_DET_EPS with both signs, u/v near 0 and 1, t near
+    TRI_T_EPS, invalid (all-zero) padded rows, and axis-parallel rays.
+    The documented contract is: identical predicates EXCEPT where a
+    rounded quotient lands exactly on a comparison boundary. The test
+    encodes that contract directly — cases whose float64 u/v/t/det sit
+    within a narrow relative band of any comparison threshold are
+    exempt; everything else must agree exactly."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import geometry as geo
+    from rsoderh_raytracing_tpu.ops.pallas_intersect import (
+        TRI_CHUNK,
+        tri_chunk_hits,
+        tri_chunk_occluded,
+    )
+
+    rng = np.random.default_rng(11)
+    n_rays = 256
+
+    # TRI_CHUNK triangles: mostly random, plus engineered degenerates.
+    a = rng.normal(size=(TRI_CHUNK, 3)).astype(np.float32)
+    e0 = rng.normal(size=(TRI_CHUNK, 3)).astype(np.float32)
+    e1 = rng.normal(size=(TRI_CHUNK, 3)).astype(np.float32)
+    # rows 0..7: near-degenerate (tiny area -> det magnitudes near eps)
+    e1[:8] = e0[:8] * (1.0 + rng.normal(size=(8, 3)).astype(np.float32) * 1e-4)
+    # rows 8..11: exactly degenerate (colinear edges -> det == 0)
+    e1[8:12] = e0[8:12] * 2.0
+    valid = np.ones((TRI_CHUNK,), np.int32)
+    valid[12:16] = 0  # padded rows: constants zeroed below
+    a[12:16] = 0.0
+    e0[12:16] = 0.0
+    e1[12:16] = 0.0
+
+    cdet = np.cross(e1, e0).astype(np.float32)
+    cu = np.cross(a, e1).astype(np.float32)
+    cv = np.cross(a, e0).astype(np.float32)
+    n = np.cross(e0, e1).astype(np.float32)
+    adotn = (a * n).sum(-1).astype(np.float32)
+
+    def col(x):
+        return x.reshape(TRI_CHUNK, -1).astype(np.float32)
+
+    tri_refs = (
+        col(cdet), col(e0), col(e1), col(cu), col(cv), col(n),
+        col(adotn), valid.reshape(TRI_CHUNK, 1),
+    )
+
+    # Rays: aimed near triangle interiors/edges (barycentric samples
+    # around the [0,1] boundaries) plus axis-parallel directions.
+    bu = rng.choice(
+        [0.0, 1.0, 0.5, -1e-4, 1e-4, 0.999, 1.001], size=(n_rays, 1)
+    ) + rng.normal(size=(n_rays, 1)) * 1e-3
+    bv = rng.choice(
+        [0.0, 0.5, -1e-4, 1e-4, 0.999], size=(n_rays, 1)
+    ) + rng.normal(size=(n_rays, 1)) * 1e-3
+    tri_pick = rng.integers(0, TRI_CHUNK, size=n_rays)
+    target = (
+        a[tri_pick] + bu * e0[tri_pick] + bv * e1[tri_pick]
+    ).astype(np.float32)
+    o = rng.normal(size=(n_rays, 3)).astype(np.float32) * 3.0
+    o[:32] = target[:32] - np.array([0.0, 0.0, 1.0], np.float32)  # t near 1
+    d = (target - o).astype(np.float32)
+    d[-16:, 0] = 0.0  # axis-parallel families
+    d[-8:, 1] = 0.0
+    norm = np.linalg.norm(d, axis=-1, keepdims=True)
+    d = (d / np.maximum(norm, 1e-9)).astype(np.float32)
+    # a block of near-surface origins: t near TRI_T_EPS
+    o[32:64] = (
+        target[32:64]
+        - d[32:64] * np.float32(geo.TRI_T_EPS)
+        * rng.choice([0.5, 0.99, 1.01, 2.0], size=(32, 1)).astype(np.float32)
+    )
+
+    ox, oy, oz = (np.ascontiguousarray(o[:, k]) for k in range(3))
+    dx, dy, dz = (np.ascontiguousarray(d[:, k]) for k in range(3))
+
+    ref_hits = np.zeros((TRI_CHUNK, n_rays), bool)
+    for i, _t, hit in tri_chunk_hits(tri_refs, ox, oy, oz, dx, dy, dz):
+        ref_hits[i] = np.asarray(hit)
+    df_hits = np.zeros((TRI_CHUNK, n_rays), bool)
+    for i, hit in enumerate(
+        tri_chunk_occluded(tri_refs, ox, oy, oz, dx, dy, dz)
+    ):
+        df_hits[i] = np.asarray(hit)
+
+    assert ref_hits.any() and not ref_hits.all()
+
+    # Boundary-band exemption in float64: a case is exempt when any
+    # compared quantity sits within a narrow relative band of its
+    # threshold — there the two f32 rounding routes may legally disagree.
+    o64, d64 = o.astype(np.float64), d.astype(np.float64)
+    m64 = np.cross(o64, d64)  # (n_rays, 3) moment vector
+    det64 = d64 @ cdet.astype(np.float64).T  # (n_rays, T)
+    safe = np.where(np.abs(det64) < 1e-300, 1.0, det64)
+    u64 = (m64 @ e1.astype(np.float64).T + d64 @ cu.astype(np.float64).T) / safe
+    v64 = -(m64 @ e0.astype(np.float64).T + d64 @ cv.astype(np.float64).T) / safe
+    t64 = (o64 @ n.astype(np.float64).T - adotn.astype(np.float64)) / safe
+    band = 1e-5
+
+    def near(x, thresh, scale):
+        return np.abs(x - thresh) <= band * scale
+
+    boundary = (
+        near(np.abs(det64), geo.TRI_DET_EPS, 1.0)
+        | near(u64, 0.0, 1.0)
+        | near(u64, 1.0, 1.0)
+        | near(v64, 0.0, 1.0)
+        | near(u64 + v64, 1.0, 1.0)
+        | near(t64, geo.TRI_T_EPS, np.maximum(geo.TRI_T_EPS, np.abs(t64)))
+    ).T  # -> (T, n_rays)
+
+    clear = ~boundary
+    assert clear.mean() > 0.5  # the band must not swallow the test
+    np.testing.assert_array_equal(df_hits[clear], ref_hits[clear])
+    # and even on-boundary, disagreements must be rare
+    assert (df_hits != ref_hits).mean() < 1e-3
