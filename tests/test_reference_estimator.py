@@ -46,3 +46,43 @@ def test_pixel_matched_rmse_vs_numpy_reference(assets_dir):
     # (or rare fp-flipped path decisions) remains.
     assert rel < 0.005, f"pixel-matched relative RMSE {rel:.4%}"
     assert (np.abs(diff) < 1e-3).mean() > 0.98
+
+
+def test_pixel_matched_rmse_vs_numpy_reference_suzanne(assets_dir):
+    """Same pixel-matched anchor on the 968-triangle suzanne scene: the
+    triangle intersection sweep, winner attributes, and mesh estimator
+    path (which the big-scene TPU kernels are parity-tested against)
+    agree with the independent WGSL transcription."""
+    from scripts.reference_estimator import render as np_render
+
+    from rsoderh_raytracing_tpu import load_scene
+    from rsoderh_raytracing_tpu.env.environment import (
+        load_default_environments,
+    )
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+
+    size, spp = 24, 2
+    scene_path = os.path.join(assets_dir, "scenes", "suzanne.toml")
+    envs = load_default_environments()
+    ref = np_render(scene_path, envs[0], size, size, spp)
+
+    renderer = Renderer(
+        load_scene(scene_path), width=size, height=size, environments=envs
+    )
+    renderer.step_batch(spp)
+    ours = np.asarray(renderer.film.mean_radiance())
+
+    # 968 triangle edges per ray make whole-path fp flips far likelier
+    # than on house (measured: 2/576 pixels flip at 24^2 x 2spp, the
+    # rest agree to 1e-6). Flipped paths are legitimate (both sides
+    # integrate the same estimator); assert the contract directly:
+    # almost every pixel pixel-matches, flips stay rare, and RMSE over
+    # the non-flipped set is estimator-level small.
+    diff = np.abs(ours - ref).max(-1)
+    flipped = diff > 1e-2
+    assert flipped.mean() < 0.01, f"{flipped.sum()} flipped pixels"
+    assert (diff < 1e-4).mean() > 0.98
+    keep = ~flipped
+    rmse = float(np.sqrt(((ours - ref)[keep] ** 2).mean()))
+    rel = rmse / float(np.sqrt((ref[keep] ** 2).mean()))
+    assert rel < 0.005, f"non-flipped relative RMSE {rel:.4%}"
