@@ -165,3 +165,45 @@ def test_freerun_sharded_resume(small_scene, uniform_env):
         )
     )
     np.testing.assert_allclose(total, expected, rtol=2e-5, atol=2e-5)
+
+
+def test_big_scene_kernel_sharded_equals_unsharded(
+    monkeypatch, big_tri_scene, tiny_env
+):
+    """The big-scene kernel path (chunked sweeps + unified winner take +
+    mega-shade; interpret mode) shards like everything else: a tiled +
+    sample-sharded free-run equals the sequential render of the same
+    global samples (max_bounces=1 makes the budget exact)."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect, pallas_wavefront
+    from rsoderh_raytracing_tpu.parallel.sharding import (
+        render_freerun_sharded,
+    )
+    from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+
+    monkeypatch.setenv("RT_PALLAS_INTERPRET", "1")
+    render_wavefront.clear_cache()
+    ds = build_device_scene(big_tri_scene, pad_to=1)
+    assert pallas_intersect.chunked_trace_supported(ds)
+    assert pallas_wavefront.supported(ds)
+    cam = camera_pytree(big_tri_scene.camera)
+    res = (16, 16)
+    mesh = make_mesh(n_devices=8, tile=2)  # 2 tiles x 4 samples
+
+    base = np.zeros(res, np.uint32)
+    budget = 2
+    summed, counts = render_freerun_sharded(
+        ds, tiny_env, cam, base, mesh, res, np.uint32(budget), 1
+    )
+    np.testing.assert_array_equal(np.asarray(counts), budget * 4)
+
+    expected = np.asarray(
+        render_wavefront(
+            ds, tiny_env, cam, np.uint32(0), res, np.uint32(budget * 4), 1
+        )
+    )
+    render_wavefront.clear_cache()
+    np.testing.assert_allclose(
+        np.asarray(summed), expected, rtol=2e-5, atol=2e-5
+    )
