@@ -31,3 +31,23 @@ def render(scene, width=512, height=512, spp=16, **kwargs):
 
     renderer = Renderer(scene, width=width, height=height, **kwargs)
     return renderer.render(spp=spp)
+
+
+def view(
+    scene,
+    width: int = 256,
+    height: int = 144,
+    movement_keys: str = "wasdqe",
+    other_keys: str = "cpe",
+    **kwargs,
+):
+    """Open the interactive terminal viewer on `scene` (the reference's
+    run() entry, src/lib.rs:19-39, maps to this + `render` above).
+    Key strings follow the reference layout config (6 movement + 3
+    other); extra kwargs pass to viewer/terminal.py:run_viewer
+    (environments, max_bounces, max_fps). Requires a TTY."""
+    from rsoderh_raytracing_tpu.scene.camera import KeyboardLayout
+    from rsoderh_raytracing_tpu.viewer.terminal import run_viewer
+
+    layout = KeyboardLayout.parse_config(movement_keys, other_keys)
+    return run_viewer(scene, layout, width=width, height=height, **kwargs)

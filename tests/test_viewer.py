@@ -163,3 +163,15 @@ def test_viewer_pty_end_to_end(assets_dir):
     states = re.findall(rb"for use with --state[^\n]*\n\s*(\S+)", out)
     assert len(states) >= 2, f"expected two state prints: {out[-400:]!r}"
     assert states[0] != states[1], "mouse swipe did not move the camera"
+
+
+def test_top_level_view_api(default_scene):
+    """rsoderh_raytracing_tpu.view mirrors the reference's run() entry:
+    validates the keyboard layout and exits 2 without a TTY."""
+    import pytest
+
+    import rsoderh_raytracing_tpu as rt
+
+    assert rt.view(default_scene) == 2  # captured stdio is not a TTY
+    with pytest.raises(ValueError):
+        rt.view(default_scene, movement_keys="abc")
