@@ -183,9 +183,13 @@ class Renderer:
         start = time.perf_counter()
         if mode == "freerun":
             # ~3.5 segments per sample on typical scenes; budget rounds.
+            # Per-call budget capped at 256 iterations: one device call
+            # must stay under the axon tunnel's ~2 min RPC deadline even
+            # on sweep-bound scenes (PERFORMANCE.md); identical streams
+            # regardless of the split.
             while self.film.sample_count < spp:
                 remaining = spp - self.film.sample_count
-                self.step_freerun(max(16, remaining * 4))
+                self.step_freerun(min(max(16, remaining * 4), 256))
                 if progress:
                     elapsed = time.perf_counter() - start
                     done = self.film.sample_count
@@ -196,7 +200,11 @@ class Renderer:
             return self.film.tonemapped()
 
         if batch is None:
-            batch = spp
+            # 64-sample sub-batches keep each device call under the axon
+            # tunnel's RPC deadline at stress configs (2048^2 x 1024 spp
+            # is ~3600 wavefront iterations in one call otherwise); the
+            # per-(pixel,sample) streams are identical for any split.
+            batch = min(spp, 64)
         done = 0
         while done < spp:
             n = min(batch, spp - done)
