@@ -67,7 +67,7 @@ def _total_prims(scene) -> int:
     )
 
 
-TRI_CHUNK = 64  # triangles per grid step in the chunked sweep
+TRI_CHUNK = 64  # triangles per grid step in the chunked sweep (SMEM max: 128 needs 1.02MB of the 1MB budget - measured compile failure)
 
 
 def _loop_enabled() -> bool:
