@@ -44,6 +44,11 @@ def make_mesh(
     the final psum)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices but only"
+                f" {len(devices)} are available"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if tile is None:
@@ -136,12 +141,21 @@ def render_freerun_sharded(
     s, s+S, s+2S, ... — disjoint deterministic streams with no
     coordination, exactly the sample-parallel analog of the reference's
     one-spp-per-frame accumulation. Returns (summed (H,W,3),
-    counts (H,W)) where counts = total samples completed across the
-    sample axis (device sums ride one psum over ICI).
+    counts (H,W), shard_counts (S,H,W)): the radiance sum and TOTAL new
+    samples this call (one psum over ICI each), plus every device's
+    cumulative LOCAL stream position — the exact state to pass back as
+    `base_counts` on the next call.
 
-    base_counts: (H, W) TOTAL per-pixel samples completed so far (the
-    film's counts); per-device stream offsets are derived as
-    ceil-division of the stride.
+    base_counts: either (S, H, W) per-shard local counts (the
+    `shard_counts` from the previous call — exact resume), or (H, W)
+    TOTAL per-pixel samples completed so far. Totals are only valid
+    when the completed set is a PREFIX of every pixel's global stream
+    (fresh start, exact-spp accumulation, or an UNSHARDED freerun);
+    the ceil-division split below is exact for prefixes. A previous
+    SHARDED freerun completes non-prefix sets (devices finish unequal
+    counts per pixel), so resuming one from totals would re-render
+    some sample indices and skip others — always feed its
+    shard_counts back instead.
     """
 
     width, height = resolution
@@ -149,17 +163,21 @@ def render_freerun_sharded(
     if height % tile_n != 0:
         raise ValueError(f"height {height} not divisible by tile={tile_n}")
     rows = height // tile_n
+    per_shard = base_counts.ndim == 3
 
     def shard_fn(scene, env, camera, base_counts):
         s_idx = jax.lax.axis_index("sample").astype(jnp.uint32)
         s_n = jnp.uint32(mesh.shape["sample"])
         t_idx = jax.lax.axis_index("tile").astype(jnp.int32)
 
-        # This device's position in each pixel's sample stream: it owns
-        # global sample indices k*s_n + s_idx; given `base` total samples
-        # done, its next local index is ceil((base - s_idx) / s_n).
-        base = base_counts.reshape(-1)
-        local_base = (base + s_n - jnp.uint32(1) - s_idx) // s_n
+        if per_shard:
+            local_base = base_counts.reshape(-1)
+        else:
+            # Prefix-complete totals: this device owns global sample
+            # indices k*s_n + s_idx, so its next local index is
+            # ceil((base - s_idx) / s_n).
+            base = base_counts.reshape(-1)
+            local_base = (base + s_n - jnp.uint32(1) - s_idx) // s_n
 
         img, local_counts = _freerun_rows(
             scene,
@@ -174,15 +192,25 @@ def render_freerun_sharded(
             iterations,
             max_bounces,
         )
+        shard_counts = (local_base + local_counts.reshape(-1)).reshape(
+            1, rows, width
+        )
         img = jax.lax.psum(img, axis_name="sample")
         counts = jax.lax.psum(local_counts, axis_name="sample")
-        return img, counts
+        return img, counts, shard_counts
 
+    base_spec = (
+        P("sample", "tile", None) if per_shard else P("tile", None)
+    )
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("tile", None)),
-        out_specs=(P("tile", None, None), P("tile", None)),
+        in_specs=(P(), P(), P(), base_spec),
+        out_specs=(
+            P("tile", None, None),
+            P("tile", None),
+            P("sample", "tile", None),
+        ),
         check_vma=False,
     )
     return fn(scene, env, camera, base_counts)
@@ -239,21 +267,31 @@ class ShardedRenderer:
     """Wraps a Renderer to execute steps across a device mesh.
 
     Each .step() renders S samples (S = sample-axis size) and adds them
-    to the film in one go."""
+    to the film in one go. Free-run steps carry per-shard stream
+    positions (`_shard_counts`) between calls so every device resumes
+    its own strided sample stream exactly (see render_freerun_sharded's
+    prefix discussion)."""
 
     def __init__(self, renderer, mesh: Mesh):
         self.inner = renderer
         self.mesh = mesh
+        self._shard_counts = None  # (S, H, W) device array after freerun
 
     @staticmethod
     def wrap(renderer, spec: str) -> "ShardedRenderer":
         """spec: 'dp:N' (sample-parallel over N devices) or
         'tile:T,dp:S' (T x S mesh)."""
-        parts = dict(
-            p.split(":", 1) for p in spec.replace(" ", "").split(",")
-        )
-        n = int(parts.get("dp", len(jax.devices())))
-        tile = int(parts.get("tile", 1))
+        try:
+            parts = dict(
+                p.split(":", 1) for p in spec.replace(" ", "").split(",")
+            )
+            n = int(parts.get("dp", len(jax.devices())))
+            tile = int(parts.get("tile", 1))
+        except (ValueError, TypeError) as exc:
+            raise ValueError(
+                f"bad --devices spec '{spec}': expected 'dp:N' or"
+                " 'tile:T,dp:S'"
+            ) from exc
         mesh = make_mesh(n_devices=tile * n, tile=tile)
         return ShardedRenderer(renderer, mesh)
 
@@ -298,20 +336,31 @@ class ShardedRenderer:
         state_hash = inner._state_hash()
         if state_hash != inner._last_state_hash:
             inner.film.reset()
+            self._shard_counts = None
             inner._last_state_hash = state_hash
 
         from rsoderh_raytracing_tpu.render.integrator import camera_pytree
 
-        summed, counts = render_freerun_sharded(
+        # Per-shard stream positions when we have them (exact resume);
+        # otherwise the film's totals, valid as a prefix split (fresh
+        # start / exact-spp / unsharded-freerun history). Device arrays
+        # pass straight through — jit reshards without a host hop.
+        base = (
+            self._shard_counts
+            if self._shard_counts is not None
+            else inner.film.counts
+        )
+        summed, counts, shard_counts = render_freerun_sharded(
             inner.device_scene,
             inner._device_env(),
             camera_pytree(inner.camera),
-            np.asarray(inner.film.counts),
+            base,
             self.mesh,
             (inner.width, inner.height),
             np.uint32(iterations),
             inner.max_bounces,
         )
+        self._shard_counts = shard_counts
         inner.film.add_freerun(summed, counts)
         return inner.film.sample_count
 
@@ -322,13 +371,38 @@ class ShardedRenderer:
         batch: int | None = None,
         mode: str = "exact",
     ):
+        import time
+
+        start = time.perf_counter()
         if mode == "freerun":
+            # Same per-call iteration cap as Renderer.render: one device
+            # dispatch must stay under the axon tunnel's RPC deadline.
             while self.film.sample_count < spp:
                 remaining = spp - self.film.sample_count
-                self.step_freerun(max(16, remaining * 4))
+                self.step_freerun(min(max(16, remaining * 4), 256))
+                if progress:
+                    done = self.film.sample_count
+                    elapsed = time.perf_counter() - start
+                    print(
+                        f"  min spp {done}/{spp}"
+                        f"  ({done / max(elapsed, 1e-9):.2f} spp/s)"
+                    )
             return self.film.tonemapped()
+        if self.film.sample_count and not self.film.is_uniform:
+            raise ValueError(
+                "exact mode cannot extend a non-uniform (free-run)"
+                " accumulation: sample indices above the per-pixel"
+                " minimum would be re-rendered. Use mode='freerun'."
+            )
         s = self.mesh.shape["sample"]
         steps = -(-spp // s)
-        for _ in range(steps):
+        for i in range(steps):
             self.step()
+            if progress:
+                elapsed = time.perf_counter() - start
+                done = (i + 1) * s
+                print(
+                    f"  sample {done}/{steps * s}"
+                    f"  ({done / max(elapsed, 1e-9):.2f} spp/s)"
+                )
         return self.film.tonemapped()

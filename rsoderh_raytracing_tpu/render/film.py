@@ -72,16 +72,12 @@ class Film:
             self._min_cache = int(self._min_dev)
         return self._min_cache
 
-    @sample_count.setter
-    def sample_count(self, value: int) -> None:
-        """Uniform-count assignment (used by sharded/batch steppers)."""
-        delta = int(value) - self.sample_count
-        self.counts = self.counts + jnp.uint32(max(0, delta))
-        if self._uniform_count is not None:
-            self._uniform_count = int(value)
-        else:
-            self._min_dev = _min_count(self.counts)
-            self._min_cache = None
+    @property
+    def is_uniform(self) -> bool:
+        """True while every pixel holds the same sample count (no
+        free-run accumulation since the last reset) — the precondition
+        for exact-spp extension (renderer.render mode='exact')."""
+        return self._uniform_count is not None
 
     def add_sample(self, sample) -> None:
         """Add ONE uniform sample for every pixel."""

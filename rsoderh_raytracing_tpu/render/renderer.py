@@ -199,6 +199,13 @@ class Renderer:
                     )
             return self.film.tonemapped()
 
+        if self.film.sample_count and not self.film.is_uniform:
+            raise ValueError(
+                "exact mode cannot extend a non-uniform (free-run)"
+                " accumulation: pixels above the per-pixel minimum would"
+                " have sample indices re-rendered (their deterministic"
+                " radiance added twice). Use mode='freerun'."
+            )
         if batch is None:
             # 64-sample sub-batches keep each device call under the axon
             # tunnel's RPC deadline at stress configs (2048^2 x 1024 spp
@@ -233,8 +240,17 @@ class Renderer:
         DEVICE with the device RNG, exactly like the reference's dev view
         (shader.wgsl:1314-1332): each screen pixel seeds its (pixel,
         sample) stream and draws `draws_per_pixel` alias samples; every
-        draw adds 0.1/n at the drawn environment pixel."""
+        draw adds 0.1/n at the drawn environment pixel. The result is
+        static for given inputs, so it is cached — the viewer redraws it
+        at full fps and the host transfer of an env-sized histogram is
+        ~0.3 s over the tunnel."""
         import jax.numpy as jnp
+
+        key = (self.environment_index, draws_per_pixel, sample_index,
+               self.width, self.height)
+        cached = getattr(self, "_alias_scatter_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
 
         from rsoderh_raytracing_tpu.ops import envmap, rng
 
@@ -263,7 +279,9 @@ class Renderer:
             )
             hist = hist.at[final].add(add)
         img = np.asarray(hist).reshape(env.height, env.width)
-        return np.clip(img[..., None].repeat(3, axis=-1), 0.0, 1.0)
+        out = np.clip(img[..., None].repeat(3, axis=-1), 0.0, 1.0)
+        self._alias_scatter_cache = (key, out)
+        return out
 
     def debug_hdri_view(self) -> np.ndarray:
         """dev_index == 3: the active environment's raw HDRI, clamped."""

@@ -235,7 +235,17 @@ def run_viewer(
                             f" {renderer.camera.serialize()}"
                         )
                         print("press any key to continue...")
-                        sys.stdin.read(1)
+                        # os.read, not sys.stdin.read: the TextIO layer
+                        # buffers readahead that select()/os.read in the
+                        # main loop can never see. Then drain everything
+                        # typed/reported during the pause so a partial
+                        # mouse escape can't leak its tail into
+                        # parse_input as spurious key presses.
+                        os.read(fd, 1)
+                        while select.select([sys.stdin], [], [], 0.05)[0]:
+                            if not os.read(fd, 4096):
+                                break
+                        pending = b""
                     elif ch == layout.next_environment:
                         renderer.next_environment()
                     elif ch.isdigit():
@@ -279,6 +289,10 @@ def run_viewer(
             budget = 1.0 / max_fps - (time.monotonic() - now)
             if budget > 0:
                 time.sleep(budget)
+    except KeyboardInterrupt:
+        # cbreak keeps ISIG, so Ctrl-C arrives as SIGINT (never as a
+        # '\x03' byte); exit as cleanly as 'q' does.
+        return 0
     finally:
         if captured:
             sys.stdout.write("\x1b[?1003l\x1b[?1006l")

@@ -99,7 +99,7 @@ def main() -> int:
 
     # 2. sharded == unsharded, bitwise ------------------------------------
     mesh = make_mesh(n_devices=len(jax.devices()), tile=1)
-    img_s, cnt_s = render_freerun_sharded(
+    img_s, cnt_s, _ = render_freerun_sharded(
         ds, env, cam, np.zeros((size, size), np.uint32), mesh,
         (size, size), np.uint32(64),
     )

@@ -120,7 +120,7 @@ def test_freerun_sharded_exact_cover(small_scene, uniform_env):
 
     base = np.zeros((16, 16), np.uint32)
     budget = 3
-    summed, counts = render_freerun_sharded(
+    summed, counts, _ = render_freerun_sharded(
         ds, uniform_env, cam, base, mesh, res, np.uint32(budget), 1
     )
     counts = np.asarray(counts)
@@ -149,10 +149,10 @@ def test_freerun_sharded_resume(small_scene, uniform_env):
     mesh = make_mesh(n_devices=4, tile=1)
 
     base = np.zeros((16, 16), np.uint32)
-    img1, c1 = render_freerun_sharded(
+    img1, c1, sc1 = render_freerun_sharded(
         ds, uniform_env, cam, base, mesh, res, np.uint32(2), 1
     )
-    img2, c2 = render_freerun_sharded(
+    img2, c2, _ = render_freerun_sharded(
         ds, uniform_env, cam, np.asarray(c1), mesh, res, np.uint32(2), 1
     )
     total = np.asarray(img1) + np.asarray(img2)
@@ -165,6 +165,53 @@ def test_freerun_sharded_resume(small_scene, uniform_env):
         )
     )
     np.testing.assert_allclose(total, expected, rtol=2e-5, atol=2e-5)
+
+    # Per-shard resume (the EXACT path — required after any sharded
+    # freerun whose devices complete unequal counts): at max_bounces=1
+    # counts are balanced, so it must match the totals resume bitwise.
+    img2b, c2b, _ = render_freerun_sharded(
+        ds, uniform_env, cam, sc1, mesh, res, np.uint32(2), 1
+    )
+    np.testing.assert_array_equal(np.asarray(c2b), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(img2b), np.asarray(img2))
+
+
+def test_freerun_sharded_resume_unbalanced(small_scene, uniform_env):
+    """With max_bounces > 1 devices complete UNEQUAL per-pixel counts;
+    chaining through shard_counts is the stream-exact resume: each
+    device's local position advances monotonically and the reported
+    total is exactly the sum of per-device increments (no sample index
+    double-counted or skipped — the ceil-division totals split is NOT
+    valid here, which is why shard_counts exists)."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.parallel.sharding import (
+        render_freerun_sharded,
+    )
+
+    ds = build_device_scene(small_scene)
+    cam = camera_pytree(small_scene.camera)
+    res = (16, 16)
+    mesh = make_mesh(n_devices=4, tile=1)
+
+    base = np.zeros((16, 16), np.uint32)
+    _img1, c1, sc1 = render_freerun_sharded(
+        ds, uniform_env, cam, base, mesh, res, np.uint32(5), 3
+    )
+    sc1 = np.asarray(sc1)
+    c1 = np.asarray(c1)
+    assert sc1.shape == (4, 16, 16)
+    np.testing.assert_array_equal(sc1.sum(axis=0), c1)
+    # The premise of the test: the budgeted free-run leaves the devices
+    # genuinely unbalanced on at least some pixels.
+    assert (sc1.max(axis=0) != sc1.min(axis=0)).any()
+
+    _img2, c2, sc2 = render_freerun_sharded(
+        ds, uniform_env, cam, sc1, mesh, res, np.uint32(5), 3
+    )
+    sc2 = np.asarray(sc2)
+    assert (sc2 >= sc1).all()
+    np.testing.assert_array_equal(sc2.sum(axis=0), c1 + np.asarray(c2))
 
 
 def test_big_scene_kernel_sharded_equals_unsharded(
@@ -193,7 +240,7 @@ def test_big_scene_kernel_sharded_equals_unsharded(
 
     base = np.zeros(res, np.uint32)
     budget = 2
-    summed, counts = render_freerun_sharded(
+    summed, counts, _ = render_freerun_sharded(
         ds, tiny_env, cam, base, mesh, res, np.uint32(budget), 1
     )
     np.testing.assert_array_equal(np.asarray(counts), budget * 4)
