@@ -169,8 +169,12 @@ def main(argv=None) -> int:
         renderer = ShardedRenderer.wrap(renderer, args.devices)
 
     if args.checkpoint:
-        renderer.step()  # establish state hash before loading
-        renderer.film.load_checkpoint(args.checkpoint)
+        # Establish the state hash without rendering (a step at high
+        # resolution is seconds of device time immediately overwritten
+        # by the load).
+        inner = getattr(renderer, "inner", renderer)
+        inner._last_state_hash = inner._state_hash()
+        renderer.load_checkpoint(args.checkpoint)
         if not args.quiet:
             print(
                 f"Resumed from {args.checkpoint} at"
@@ -182,7 +186,7 @@ def main(argv=None) -> int:
     elapsed = time.perf_counter() - start
     renderer.save_png(args.output)
     if args.save_checkpoint:
-        renderer.film.save_checkpoint(args.save_checkpoint)
+        renderer.save_checkpoint(args.save_checkpoint)
     if not args.quiet:
         total = renderer.film.sample_count
         print(

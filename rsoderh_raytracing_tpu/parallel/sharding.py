@@ -307,6 +307,41 @@ class ShardedRenderer:
     def save_png(self, path):
         self.inner.save_png(path)
 
+    def save_checkpoint(self, path) -> None:
+        """Film checkpoint plus this mesh's per-shard stream positions:
+        a sharded freerun completes a NON-prefix global sample set, so
+        resuming it exactly needs the per-device counts, not the film's
+        totals (see render_freerun_sharded)."""
+        film = self.inner.film
+        extra = {}
+        if self._shard_counts is not None:
+            extra["shard_counts"] = np.asarray(self._shard_counts)
+        np.savez(
+            path,
+            cumulative=np.asarray(film.cumulative),
+            counts=np.asarray(film.counts),
+            sample_count=film.sample_count,
+            **extra,
+        )
+
+    def load_checkpoint(self, path) -> None:
+        self.inner.film.load_checkpoint(path)
+        self._shard_counts = None
+        with np.load(path) as z:
+            if "shard_counts" in z.files:
+                sc = z["shard_counts"]
+                s = self.mesh.shape["sample"]
+                if sc.shape[0] != s:
+                    raise ValueError(
+                        f"checkpoint was produced on a {sc.shape[0]}-wide"
+                        f" sample axis but this mesh has {s}: the"
+                        " completed sample set cannot be re-split"
+                        " exactly — resume with the original mesh shape"
+                    )
+                self._shard_counts = jnp.asarray(sc.astype(np.uint32))
+            # else: totals-only checkpoint (fresh/exact/unsharded
+            # freerun) — prefix-complete, so the ceil split is exact.
+
     def step(self) -> int:
         inner = self.inner
         state_hash = inner._state_hash()

@@ -231,6 +231,12 @@ class Renderer:
     def save_png(self, path: str) -> None:
         write_png(path, self.film.srgb8())
 
+    def save_checkpoint(self, path: str) -> None:
+        self.film.save_checkpoint(path)
+
+    def load_checkpoint(self, path: str) -> None:
+        self.film.load_checkpoint(path)
+
     # -- dev debug views (reference shader.wgsl:1314-1338) ------------------
 
     def debug_alias_scatter(

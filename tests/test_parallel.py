@@ -254,3 +254,47 @@ def test_big_scene_kernel_sharded_equals_unsharded(
     np.testing.assert_allclose(
         np.asarray(summed), expected, rtol=2e-5, atol=2e-5
     )
+
+
+def test_sharded_freerun_checkpoint_roundtrip(
+    tmp_path, small_scene, uniform_env
+):
+    """Sharded-freerun checkpoints carry per-shard stream positions:
+    save -> load into a fresh ShardedRenderer (same mesh) -> continue
+    must equal the uninterrupted run bitwise; loading on a different
+    sample-axis width is rejected."""
+    import numpy as np
+    import pytest
+
+    from rsoderh_raytracing_tpu.parallel.sharding import ShardedRenderer
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+
+    def fresh():
+        r = Renderer(small_scene, width=16, height=16, max_bounces=3)
+        r.environments = [None]
+        r._device_env_cache = {0: uniform_env}
+        return r
+
+    path = str(tmp_path / "shard_ckpt.npz")
+
+    a = ShardedRenderer(fresh(), make_mesh(n_devices=4, tile=1))
+    a.step_freerun(5)
+    a.save_checkpoint(path)
+    a.step_freerun(5)
+
+    b = ShardedRenderer(fresh(), make_mesh(n_devices=4, tile=1))
+    b.inner._last_state_hash = b.inner._state_hash()
+    b.load_checkpoint(path)
+    b.step_freerun(5)
+
+    np.testing.assert_array_equal(
+        np.asarray(a.film.counts), np.asarray(b.film.counts)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.film.cumulative), np.asarray(b.film.cumulative)
+    )
+
+    c = ShardedRenderer(fresh(), make_mesh(n_devices=2, tile=1))
+    c.inner._last_state_hash = c.inner._state_hash()
+    with pytest.raises(ValueError, match="sample axis"):
+        c.load_checkpoint(path)
