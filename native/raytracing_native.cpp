@@ -31,11 +31,16 @@ int64_t build_alias_table(
     std::vector<float> alias_probabilities(probabilities, probabilities + length);
     const float inv_length = 1.0f / static_cast<float>(length);
 
-    // Defaults: identity entries (probability 1, alias self, pmf 1/len).
+    // Defaults: identity entries (probability 1, alias self) with their
+    // TRUE weight-proportional pmf — leftovers' actual draw rate
+    // includes alias slots pointing at them, and the RGBE device path
+    // recomputes pmf from radiance, so storing 1/len (the reference's
+    // choice, environments.rs:161-183) would desynchronize the two MIS
+    // arms for bright stranded entries (see env/alias_table.py).
     for (int64_t i = 0; i < length; ++i) {
         out_probability[i] = 1.0f;
         out_alias[i] = static_cast<int32_t>(i);
-        out_pmf[i] = inv_length;
+        out_pmf[i] = probabilities[i] * inv_length;
     }
 
     std::vector<int64_t> small;

@@ -87,7 +87,17 @@ def _build_python(probabilities: np.ndarray) -> AliasTable:
 
     out_probability = np.ones(length, dtype=np.float32)
     out_alias = np.arange(length, dtype=np.int32)
-    out_pmf = np.full(length, 1.0 / length, dtype=np.float32)
+    # Leftover (never-paired) entries keep probability 1 / alias=self
+    # like the reference, but store their TRUE weight-proportional pmf
+    # rather than the reference's 1/length (environments.rs:161-183):
+    # a leftover's actual draw rate includes every alias slot pointing
+    # at it, so 1/length misreports the sampling pdf — and, decisively,
+    # the RGBE quad path RECOMPUTES the pmf from radiance for BSDF-hit
+    # MIS (ops/envmap.py:_texel_pmf); storing the true pmf keeps both
+    # MIS arms consistent for any HDRI (a bright texel stranded in the
+    # large worklist would otherwise pair a ~1/L NEE pdf with a
+    # weight-proportional BSDF pdf and lose its energy in both arms).
+    out_pmf = pmf_src.astype(np.float32).copy()
     assigned = np.zeros(length, dtype=bool)
 
     while small and large:
@@ -108,8 +118,8 @@ def _build_python(probabilities: np.ndarray) -> AliasTable:
         else:
             large.append(large_index)
 
-    # Unassigned entries keep the identity defaults
-    # (probability 1, alias=self, pmf=1/length) — src/environments.rs:161-183.
+    # Unassigned entries keep the identity defaults (probability 1,
+    # alias=self) with their true pmf — see the out_pmf comment above.
     import logging
 
     logging.getLogger(__name__).info(

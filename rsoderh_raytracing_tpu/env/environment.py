@@ -69,7 +69,6 @@ class Environment:
         )
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceEnvironment:
     """The active environment on device. Consumed by ops/envmap.py.
@@ -83,19 +82,29 @@ class DeviceEnvironment:
       AND (via in-register pmf recompute) the MIS pdf of its texel.
       Legacy modes keep the round-1 (H*W, 16) bf16/f32 layout
       (12 radiance + 4 per-texel pmf columns).
-    - `alias_pair`: (H*W, 4) f32 [probability, alias_index, pmf_self,
-      pmf_alias]: the alias decision AND the final index's pmf are one
-      16-byte gather.
-    `texture` keeps the f32 image for host access and debug views.
+    - `alias_pair`: (H*W, 4) f32 [probability, alias_index_bits,
+      pmf_self, pmf_alias]: the alias decision AND the final index's pmf
+      are one 16-byte gather. The alias index travels as the f32 BIT
+      PATTERN of its int32 (bitcast on read): a value cast would round
+      indices above 2^24, silently corrupting tables larger than 16.7M
+      texels (an 8k HDRI is 33.5M).
+    `texture_shape` is STATIC (H, W) metadata — device code needs only
+    the shape; the f32 image stays host-side on the Environment.
     `pmf_norm` carries (length, weight_sum) f32 scalars for the
     in-register pmf recompute (see ops/envmap.py:radiance_and_pmf).
     """
 
-    texture: Any  # (H, W, 3) f32
+    texture_shape: tuple  # (H, W) static metadata
     quad: Any  # (H*W, 4) u32 RGBE quad, or legacy (H*W, 16) bf16/f32
-    alias_pair: Any  # (H*W, 4) [probability, alias_index, pmf_self, pmf_alias]
-    alias_pmf: Any  # (H*W,) f32
+    alias_pair: Any  # (H*W, 4) [probability, index_bits, pmf_self, pmf_alias]
     pmf_norm: Any  # (2,) f32 [table length, weight sum]
+
+
+jax.tree_util.register_dataclass(
+    DeviceEnvironment,
+    data_fields=["quad", "alias_pair", "pmf_norm"],
+    meta_fields=["texture_shape"],
+)
 
 
 def device_environment(env: Environment, radiance_dtype="rgbe") -> DeviceEnvironment:
@@ -104,7 +113,11 @@ def device_environment(env: Environment, radiance_dtype="rgbe") -> DeviceEnviron
       optimum; radiance values are exactly the (already RGBE-quantized)
       texture, the MIS pmf is recomputed in-register.
     - "bfloat16"/float32: legacy 32/64-byte rows with stored per-texel
-      pmf columns (RGBE-quantized values are exact in both dtypes).
+      pmf columns. RGBE-quantized RADIANCE is exact in both dtypes, but
+      bfloat16 rounds the pmf columns ~0.4%, so the BSDF-hit MIS pdf
+      diverges slightly from the f32 NEE pdf — acceptable for the
+      legacy/experimental mode only; the default RGBE mode recomputes
+      the pmf in f32 and stays consistent.
     The alias table and the NEE pdf stay f32 in every mode."""
     tex = np.asarray(env.texture, np.float32)
     height, width = tex.shape[:2]
@@ -139,23 +152,34 @@ def device_environment(env: Environment, radiance_dtype="rgbe") -> DeviceEnviron
         ).reshape(height * width, 16)
         quad_dev = jnp.asarray(quad, dtype=radiance_dtype)
     # NEE needs pmf of the FINAL index (self or alias) — pack both so the
-    # alias decision and its pmf are one 16-byte gather.
+    # alias decision and its pmf are one 16-byte gather. Indices ride as
+    # raw int32 bit patterns (see DeviceEnvironment docstring).
     alias_pair = np.stack(
         [
             env.alias.probability,
-            env.alias.alias_index.astype(np.float32),
+            env.alias.alias_index.astype(np.int32).view(np.float32),
             env.alias.pmf,
             env.alias.pmf[env.alias.alias_index],
         ],
         axis=-1,
     )
+    weight_sum = env.weight_sum
+    if weight_sum <= 0.0:
+        # Environments built without from_texture (direct construction)
+        # leave weight_sum at the 0.0 default, which would silently make
+        # every recomputed MIS pdf uniform; derive it from the texture
+        # with the exact builder formula instead.
+        weight_sum = float(
+            np.float32(
+                build_weights_by_luminance(tex).sum(dtype=np.float64)
+            )
+        )
     return DeviceEnvironment(
-        texture=jnp.asarray(tex),
+        texture_shape=(height, width),
         quad=quad_dev,
         alias_pair=jnp.asarray(alias_pair),
-        alias_pmf=jnp.asarray(env.alias.pmf),
         pmf_norm=jnp.asarray(
-            [np.float32(height * width), np.float32(env.weight_sum)],
+            [np.float32(height * width), np.float32(weight_sum)],
             dtype=jnp.float32,
         ),
     )

@@ -51,12 +51,15 @@ def _texel_pmf(env: DeviceEnvironment, rgb, py, height: int):
     pmf = ((w * L) / Z) / L. The texture is RGBE-quantized at build time
     so `rgb` here equals the values the alias table was built from.
 
-    Deviation (documented): entries the Vose pairing leaves over keep
-    the reference's identity pmf = 1/L (src/environments.rs:161-183);
-    the recompute yields their true weight-proportional pmf instead —
-    leftovers are mean-weight pixels, so both are ~1/L and the MIS
-    weight difference is O(ulp-of-the-pairing), far below the <1% RMSE
-    acceptance. NEE pdfs still use the STORED pmf (alias_pair row)."""
+    The STORED pmf (alias_pair row, used by NEE) equals this recompute
+    for EVERY entry — including Vose-pairing leftovers, which store
+    their true weight-proportional pmf rather than the reference's
+    identity 1/L (env/alias_table.py explains why: a bright texel
+    stranded in the large worklist would otherwise pair a ~1/L NEE pdf
+    with a weight-proportional BSDF-hit pdf, and the two MIS arms would
+    no longer partition unity). Residual difference is the f32
+    rounding-order of (w*L/Z)/L vs the builder's w/Z normalization —
+    ulp-scale."""
     lum = (
         0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
     )
@@ -148,7 +151,7 @@ def bilinear_sample(texture, uv):
 def _quad_fetch(env: DeviceEnvironment, uv):
     """Shared quad-row gather: returns (row f32, four texels (N,3) each,
     fx, fy, x0i, y0i). `row` is None in RGBE mode (no pmf columns)."""
-    height, width = env.texture.shape[0], env.texture.shape[1]
+    height, width = env.texture_shape[0], env.texture_shape[1]
     x = uv[..., 0] * width - 0.5
     y = uv[..., 1] * height - 0.5
     x0 = jnp.floor(x)
@@ -204,7 +207,7 @@ def radiance_and_pmf(env: DeviceEnvironment, uv):
     from the selected texel's radiance (see _texel_pmf); legacy rows
     carry stored per-texel pmf columns.
     """
-    height, width = env.texture.shape[0], env.texture.shape[1]
+    height, width = env.texture_shape[0], env.texture_shape[1]
     row, c00, c10, c01, c11, fx, fy, x0i, y0i = _quad_fetch(env, uv)
     top = c00 * (1.0 - fx) + c10 * fx
     bottom = c01 * (1.0 - fx) + c11 * fx
@@ -242,7 +245,7 @@ def direction_pdf(env: DeviceEnvironment, direction):
     Reads the pmf from the quad's packed pmf columns (same storage the
     wavefront's fused fetch uses) so both integrators compute identical
     MIS weights regardless of the quad dtype."""
-    height, width = env.texture.shape[0], env.texture.shape[1]
+    height, width = env.texture_shape[0], env.texture_shape[1]
     uv = direction_to_equirect_uv(direction)
     _, pmf = radiance_and_pmf(env, uv)
     return pmf / pixel_solid_angle(uv[..., 1], width, height)
@@ -257,7 +260,7 @@ def sample_alias_index(state, env: DeviceEnvironment):
     radiance fetch with the miss path. RNG draw order matches the
     reference: index draw, alias-accept draw, jitter x, jitter y.
     """
-    height, width = env.texture.shape[0], env.texture.shape[1]
+    height, width = env.texture_shape[0], env.texture_shape[1]
     length = width * height
 
     state, u_index = rng.next_uniform(state)
@@ -267,7 +270,10 @@ def sample_alias_index(state, env: DeviceEnvironment):
     state, u_accept = rng.next_uniform(state)
     pair = jnp.take(env.alias_pair, index, axis=0)
     keep = u_accept < pair[..., 0]
-    index = jnp.where(keep, index, pair[..., 1].astype(jnp.int32))
+    # The alias index travels as int32 BITS in the f32 row (a value cast
+    # would round indices above 2^24 — see DeviceEnvironment).
+    alias_idx = jax.lax.bitcast_convert_type(pair[..., 1], jnp.int32)
+    index = jnp.where(keep, index, alias_idx)
     pmf = jnp.where(keep, pair[..., 2], pair[..., 3])
 
     x = index % width
@@ -289,7 +295,7 @@ def sample_environment(state, env: DeviceEnvironment):
 
     Returns (new_rng_state, direction (N,3), radiance (N,3), pdf (N,)).
     """
-    height, width = env.texture.shape[0], env.texture.shape[1]
+    height, width = env.texture_shape[0], env.texture_shape[1]
     state, index, uv, pmf = sample_alias_index(state, env)
     direction = equirect_uv_to_direction(uv)
     radiance = bilinear_sample_quad(env, uv)

@@ -84,9 +84,14 @@ def trace_rays(
         active_miss = alive & ~hit.did_hit
 
         # Ray escaped: environment radiance with MIS against the last
-        # BSDF pdf (shader.wgsl:1222-1231).
-        env_light = envmap.sky_light(env, rd)
-        miss_pdf = envmap.direction_pdf(env, rd)
+        # BSDF pdf (shader.wgsl:1222-1231). One fused quad fetch serves
+        # both the radiance and the pdf's pmf (sky_light +
+        # direction_pdf would gather the same 16-byte row twice).
+        miss_uv = envmap.direction_to_equirect_uv(rd)
+        env_light, miss_pmf = envmap.radiance_and_pmf(env, miss_uv)
+        miss_pdf = miss_pmf / envmap.pixel_solid_angle(
+            miss_uv[..., 1], env.texture_shape[1], env.texture_shape[0]
+        )
         miss_weight = bsdf_ops.power_heuristic(last_pdf, miss_pdf)
         incoming = incoming + jnp.where(
             active_miss[..., None],

@@ -250,6 +250,7 @@ class Renderer:
         static for given inputs, so it is cached — the viewer redraws it
         at full fps and the host transfer of an env-sized histogram is
         ~0.3 s over the tunnel."""
+        import jax
         import jax.numpy as jnp
 
         key = (self.environment_index, draws_per_pixel, sample_index,
@@ -281,7 +282,8 @@ class Renderer:
             final = jnp.where(
                 u_accept < pair[..., 0],
                 index,
-                pair[..., 1].astype(jnp.int32),
+                # int32 bits in the f32 row — see DeviceEnvironment
+                jax.lax.bitcast_convert_type(pair[..., 1], jnp.int32),
             )
             hist = hist.at[final].add(add)
         img = np.asarray(hist).reshape(env.height, env.width)

@@ -206,7 +206,7 @@ def wavefront_loop_custom(
             base_sample, sample_map, spp, iteration_budget, max_bounces,
         )
 
-    env_h, env_w = env.texture.shape[0], env.texture.shape[1]
+    env_h, env_w = env.texture_shape[0], env.texture_shape[1]
 
     def start_path(sample_idx):
         state = rng.seed(pixel_index, sample_map(base_sample + sample_idx))
@@ -421,7 +421,7 @@ def _kernel_loop(
 
     width, height = resolution
     n = pixel_index.shape[0]
-    env_h, env_w = env.texture.shape[0], env.texture.shape[1]
+    env_h, env_w = env.texture_shape[0], env.texture_shape[1]
     lanes = pwf.LANES
     block = pwf.SUBLANES * lanes
     n_pad = -(-n // block) * block

@@ -146,10 +146,19 @@ def build_device_scene(
         pln_valid[i] = True
 
     # Triangles: dereference vertex/normal indices into dense SoA.
-    # Large triangle counts pad to 64 so the chunked Pallas sweep's
-    # blocks divide evenly (ops/pallas_intersect.py TRI_CHUNK).
+    # Pad to 64 (ops/pallas_intersect.py TRI_CHUNK) whenever the TOTAL
+    # padded lane count exceeds the unrolled kernel's budget — counting
+    # triangles alone would leave boundary scenes (e.g. 180 tris + a few
+    # spheres/planes) too big to unroll yet not chunk-divisible, silently
+    # dropping them to the composed XLA path.
     tris = scene.meshes.triangles
-    tri_pad = pad_to if len(tris) <= 192 else 64
+    from rsoderh_raytracing_tpu.ops.pallas_intersect import (
+        MAX_UNROLL_PRIMS,
+        TRI_CHUNK,
+    )
+
+    total_small = s_n + p_n + _round_up(len(tris), pad_to)
+    tri_pad = pad_to if total_small <= MAX_UNROLL_PRIMS else TRI_CHUNK
     t_n = _round_up(len(tris), tri_pad)
     tri_a = np.zeros((t_n, 3), np.float32)
     tri_edge0 = np.zeros((t_n, 3), np.float32)
@@ -174,8 +183,10 @@ def build_device_scene(
         tri_material[: len(tris)] = tris[:, 6]
         tri_valid[: len(tris)] = True
 
-    # Precompute intersection constants (float64 cross products for the
-    # derived quantities, cast to f32 once).
+    # Precompute intersection constants. sph_c2 uses float64 (the
+    # |c|^2 - r^2 cancellation is precision-sensitive); the triangle
+    # cross products stay in f32 — the composed path and the kernels
+    # consume the same f32 constants, so the sweep is self-consistent.
     sph_c2 = (sph_pos.astype(np.float64) ** 2).sum(-1) - (
         sph_radius.astype(np.float64) ** 2
     )

@@ -85,7 +85,14 @@ def test_sampling_favors_bright_pixels(tiny_env):
     )
     _, direction, radiance, pdf = envmap.sample_environment(state, tiny_env)
     radiance = np.asarray(radiance)
-    tex_mean = float(np.asarray(tiny_env.texture).mean())
+    # The device env carries only the RGBE quad (no f32 image); rebuild
+    # the fixture's texture host-side for the comparison mean.
+    from rsoderh_raytracing_tpu.env.hdr_io import procedural_sky, rgbe_quantize
+
+    tex = rgbe_quantize(
+        procedural_sky(64, 32, sun_intensity=50.0, sun_radius=0.15)
+    )
+    tex_mean = float(tex.mean())
     # Importance sampling oversamples bright texels: mean sampled radiance
     # far exceeds the texture mean.
     assert radiance.mean() > 2.0 * tex_mean
