@@ -151,6 +151,8 @@ def main(argv=None) -> int:
             height=height,
             environments=environments,
             max_bounces=args.max_bounces,
+            environment_index=args.env_index,
+            intersector=args.intersector,
         )
 
     renderer = Renderer(

@@ -57,19 +57,31 @@ def read_hdr(path: str) -> np.ndarray:
         ):
             # Adaptive RLE: four separate channel streams per scanline.
             idx += 4
-            for ch in range(4):
-                x = 0
-                while x < width:
-                    count = int(raw[idx])
-                    idx += 1
-                    if count > 128:  # run
-                        rgbe[y, x : x + count - 128, ch] = raw[idx]
+            try:
+                for ch in range(4):
+                    x = 0
+                    while x < width:
+                        count = int(raw[idx])
                         idx += 1
-                        x += count - 128
-                    else:  # literal
-                        rgbe[y, x : x + count, ch] = raw[idx : idx + count]
-                        idx += count
-                        x += count
+                        if count > 128:  # run
+                            rgbe[y, x : x + count - 128, ch] = raw[idx]
+                            idx += 1
+                            x += count - 128
+                        elif count == 0:
+                            # A zero literal count would advance nothing
+                            # and loop forever: corrupt stream.
+                            raise ValueError(
+                                f"{path}: corrupt RLE scanline {y}"
+                                " (zero-length literal)"
+                            )
+                        else:  # literal
+                            rgbe[y, x : x + count, ch] = raw[idx : idx + count]
+                            idx += count
+                            x += count
+            except IndexError as err:
+                raise ValueError(
+                    f"{path}: truncated RLE data in scanline {y}"
+                ) from err
         else:
             # Flat scanline.
             flat = raw[idx : idx + width * 4].reshape(width, 4)

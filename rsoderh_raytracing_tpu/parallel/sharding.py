@@ -312,19 +312,13 @@ class ShardedRenderer:
         a sharded freerun completes a NON-prefix global sample set, so
         resuming it exactly needs the per-device counts, not the film's
         totals (see render_freerun_sharded)."""
-        film = self.inner.film
-        extra = {}
+        extra = {"state_stamp": self.inner._state_stamp()}
         if self._shard_counts is not None:
             extra["shard_counts"] = np.asarray(self._shard_counts)
-        np.savez(
-            path,
-            cumulative=np.asarray(film.cumulative),
-            counts=np.asarray(film.counts),
-            sample_count=film.sample_count,
-            **extra,
-        )
+        self.inner.film.save_checkpoint(path, **extra)
 
     def load_checkpoint(self, path) -> None:
+        self.inner._check_state_stamp(path)
         self.inner.film.load_checkpoint(path)
         self._shard_counts = None
         with np.load(path) as z:
@@ -430,14 +424,16 @@ class ShardedRenderer:
                 " minimum would be re-rendered. Use mode='freerun'."
             )
         s = self.mesh.shape["sample"]
-        steps = -(-spp // s)
+        # spp is the TOTAL target (matches Renderer.render / freerun).
+        base = self.film.sample_count
+        steps = max(0, -(-(spp - base) // s))
         for i in range(steps):
             self.step()
             if progress:
                 elapsed = time.perf_counter() - start
-                done = (i + 1) * s
+                done = base + (i + 1) * s
                 print(
-                    f"  sample {done}/{steps * s}"
-                    f"  ({done / max(elapsed, 1e-9):.2f} spp/s)"
+                    f"  sample {done}/{base + steps * s}"
+                    f"  ({(done - base) / max(elapsed, 1e-9):.2f} spp/s)"
                 )
         return self.film.tonemapped()

@@ -122,14 +122,17 @@ class Film:
             jnp.clip(srgb * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
         )
 
-    def save_checkpoint(self, path: str) -> None:
+    def save_checkpoint(self, path: str, **extra) -> None:
         """Save the raw accumulation state (the reference never persists
-        its accumulation buffer; this is a cheap capability win)."""
+        its accumulation buffer; this is a cheap capability win). `extra`
+        arrays (e.g. the renderer's state hash, sharded stream positions)
+        ride in the same .npz; loaders ignore keys they don't know."""
         np.savez(
             path,
             cumulative=np.asarray(self.cumulative),
             counts=np.asarray(self.counts),
             sample_count=self.sample_count,
+            **extra,
         )
 
     def load_checkpoint(self, path: str) -> None:

@@ -212,7 +212,10 @@ class Renderer:
             # is ~3600 wavefront iterations in one call otherwise); the
             # per-(pixel,sample) streams are identical for any split.
             batch = min(spp, 64)
-        done = 0
+        # `spp` is the TOTAL target (the docstring's "until every pixel
+        # has >= spp"): resuming a 64-spp checkpoint with spp=64 is a
+        # no-op, same as freerun mode — not 64 more samples.
+        done = self.film.sample_count
         while done < spp:
             n = min(batch, spp - done)
             if n == 1 and batch == 1:
@@ -231,11 +234,61 @@ class Renderer:
     def save_png(self, path: str) -> None:
         write_png(path, self.film.srgb8())
 
+    def _state_stamp(self) -> np.ndarray:
+        """Deterministic cross-process render-state identity: the
+        camera's raw f32 bit pattern (via its serialization codec) plus
+        environment index and resolution. (The in-process _state_hash
+        uses Python's hash(), which is randomized per process.)"""
+        cam_bits = np.frombuffer(
+            np.concatenate(
+                [
+                    np.asarray(self.camera.pos, np.float32),
+                    np.asarray(
+                        [self.camera.yaw, self.camera.pitch,
+                         self.camera.fov_y],
+                        np.float32,
+                    ),
+                ]
+            ).tobytes(),
+            dtype=np.uint32,
+        )
+        return np.concatenate(
+            [
+                cam_bits.astype(np.int64),
+                np.asarray(
+                    [self.environment_index, self.width, self.height],
+                    np.int64,
+                ),
+            ]
+        )
+
     def save_checkpoint(self, path: str) -> None:
-        self.film.save_checkpoint(path)
+        """Accumulation checkpoint stamped with the render state
+        (camera bits/environment/resolution) it was produced under."""
+        self.film.save_checkpoint(path, state_stamp=self._state_stamp())
 
     def load_checkpoint(self, path: str) -> None:
+        """Load an accumulation checkpoint. Refuses a checkpoint whose
+        recorded state stamp differs from the CURRENT camera/
+        environment/resolution: blending accumulations from two states
+        produces a silent double-exposure (restore the matching camera
+        with --state, or render fresh). Stampless legacy checkpoints
+        load as before."""
+        self._check_state_stamp(path)
         self.film.load_checkpoint(path)
+
+    def _check_state_stamp(self, path: str) -> None:
+        with np.load(path) as z:
+            if "state_stamp" not in z.files:
+                return
+            saved = z["state_stamp"]
+        if not np.array_equal(saved, self._state_stamp()):
+            raise ValueError(
+                f"checkpoint {path} was accumulated under a different"
+                " camera/environment/resolution state; pass the matching"
+                " --state (the camera string printed when it was saved)"
+                " or render fresh — blending states would double-expose"
+            )
 
     # -- dev debug views (reference shader.wgsl:1314-1338) ------------------
 

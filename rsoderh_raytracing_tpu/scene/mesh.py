@@ -56,8 +56,22 @@ def load_obj(source: str, material_id: int) -> PackedMeshes:
                 if n_idx is None:
                     raise MeshError("Object must include baked normals")
                 # OBJ indices are 1-based; negative indices are relative.
+                # Validate range here: index 0 or an over-negative index
+                # would otherwise wrap through numpy fancy-indexing into
+                # the WRONG vertex silently (or explode later with an
+                # opaque IndexError in device-scene construction).
                 v_idx = v_idx - 1 if v_idx > 0 else len(vertices) + v_idx
                 n_idx = n_idx - 1 if n_idx > 0 else len(normals) + n_idx
+                if not (0 <= v_idx < len(vertices)):
+                    raise MeshError(
+                        f"Face references vertex index out of range:"
+                        f" '{raw_line.strip()}'"
+                    )
+                if not (0 <= n_idx < len(normals)):
+                    raise MeshError(
+                        f"Face references normal index out of range:"
+                        f" '{raw_line.strip()}'"
+                    )
                 corners.append((v_idx, n_idx))
             # Fan triangulation from the first corner (quad -> 2 tris),
             # matching the wavefront_obj crate used by the reference.

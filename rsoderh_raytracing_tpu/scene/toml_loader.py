@@ -54,7 +54,16 @@ def load_scene(path: str) -> Scene:
         raise SceneError(f"Couldn't open scene {path}:\n  {err}") from err
     except tomllib.TOMLDecodeError as err:
         raise SceneError(f"Couldn't parse scene {path}:\n  {err}") from err
-    return build_scene(descriptor, path)
+    try:
+        return build_scene(descriptor, path)
+    except KeyError as err:
+        # Missing required tables/fields ([camera], a sphere's 'radius',
+        # a material's 'roughness', ...) otherwise escape as raw
+        # KeyError tracebacks instead of the loader's error contract
+        # (the reference emits a clean serde error for the same input).
+        raise SceneError(
+            f"Invalid scene {path}: missing required field {err}"
+        ) from err
 
 
 def build_scene(descriptor: dict, descriptor_path: str) -> Scene:

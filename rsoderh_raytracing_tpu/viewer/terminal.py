@@ -140,6 +140,8 @@ def run_viewer(
     environments=None,
     max_bounces: int = 10,
     max_fps: float = 30.0,
+    environment_index: int = 0,
+    intersector: str = "sweep",
 ) -> int:
     from rsoderh_raytracing_tpu.render.renderer import Renderer
     from rsoderh_raytracing_tpu.scene.camera import CameraController
@@ -161,7 +163,10 @@ def run_viewer(
         height=height,
         environments=environments,
         max_bounces=max_bounces,
+        intersector=intersector,
     )
+    if environments is not None and len(environments):
+        renderer.environment_index = environment_index % len(environments)
     controller = CameraController()
     key_to_action = {
         layout.forward: "forward",

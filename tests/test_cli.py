@@ -131,3 +131,47 @@ def test_module_entrypoint_help():
     )
     assert result.returncode == 0
     assert "--scene" in result.stdout
+
+
+def test_checkpoint_state_stamp_mismatch(tmp_path, default_scene):
+    """A checkpoint saved under one camera refuses to load under another
+    (silent blending would double-expose)."""
+    import numpy as np
+    import pytest
+
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+
+    p = str(tmp_path / "ck.npz")
+    r = Renderer(default_scene, width=16, height=16)
+    r.step_batch(2)
+    r.save_checkpoint(p)
+
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+
+    r2 = Renderer(default_scene, width=16, height=16)
+    r2.camera = Camera(
+        pos=np.asarray(r2.camera.pos) + [1.0, 0.0, 0.0],
+        yaw=r2.camera.yaw,
+        pitch=r2.camera.pitch,
+        fov_y=r2.camera.fov_y,
+    )
+    with pytest.raises(ValueError, match="different"):
+        r2.load_checkpoint(p)
+
+    # Same state: loads and reports the saved progress.
+    r3 = Renderer(default_scene, width=16, height=16)
+    r3.load_checkpoint(p)
+    assert r3.film.sample_count == 2
+
+
+def test_exact_mode_spp_is_total(default_scene):
+    """render(mode='exact') treats spp as the TOTAL target: resuming at
+    64 with spp=64 is a no-op, spp=66 adds exactly 2."""
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+
+    r = Renderer(default_scene, width=16, height=16)
+    r.step_batch(4)
+    r.render(spp=4)
+    assert r.film.sample_count == 4
+    r.render(spp=6)
+    assert r.film.sample_count == 6

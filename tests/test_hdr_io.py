@@ -123,3 +123,29 @@ def test_default_hdri_assets_load(assets_dir):
     for env in envs.environments:
         assert env.texture.shape == (1024, 2048, 3)
         assert env.texture.max() > 10.0  # a sun exists
+
+
+def test_corrupt_rle_raises_not_hangs(tmp_path):
+    """A zero literal count or truncation in the adaptive-RLE stream
+    raises a clean error instead of looping forever / IndexError."""
+    import numpy as np
+    import pytest
+
+    from rsoderh_raytracing_tpu.env.hdr_io import read_hdr
+
+    width, height = 8, 2
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+    header += f"-Y {height} +X {width}\n".encode()
+    # Scanline marker then a zero-count literal: would never advance.
+    body = bytes([2, 2, 0, width, 0])
+    p = tmp_path / "corrupt.hdr"
+    p.write_bytes(header + body)
+    with pytest.raises(ValueError, match="corrupt RLE|truncated RLE"):
+        read_hdr(str(p))
+
+    # Truncated stream: marker promises data that is not there.
+    body2 = bytes([2, 2, 0, width, 130])
+    p2 = tmp_path / "trunc.hdr"
+    p2.write_bytes(header + body2)
+    with pytest.raises(ValueError, match="truncated RLE"):
+        read_hdr(str(p2))

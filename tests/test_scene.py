@@ -123,3 +123,33 @@ def test_duplicate_scene_flag_last_wins(assets_dir, capsys):
         ["--scene", "a.toml", "--scene", "b.toml"]
     )
     assert args.scene[-1] == "b.toml"
+
+
+def test_missing_camera_raises_scene_error(tmp_path):
+    """Schema gaps surface as SceneError (the loader's contract), not
+    raw KeyError tracebacks."""
+    import pytest
+
+    from rsoderh_raytracing_tpu.scene.toml_loader import (
+        SceneError,
+        load_scene,
+    )
+
+    p = tmp_path / "no_camera.toml"
+    p.write_text('[[material]]\nname = "m"\ncolor = [1, 1, 1]\n'
+                 "roughness = 0.5\nmetallic = 0.0\nemission = [0, 0, 0]\n")
+    with pytest.raises(SceneError, match="missing required field"):
+        load_scene(str(p))
+
+
+def test_obj_out_of_range_indices_raise():
+    import pytest
+
+    from rsoderh_raytracing_tpu.scene.mesh import MeshError, load_obj
+
+    src = "v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\nf 1//1 2//1 4//1\n"
+    with pytest.raises(MeshError, match="vertex index out of range"):
+        load_obj(src, 0)
+    src0 = "v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\nf 0//1 2//1 3//1\n"
+    with pytest.raises(MeshError, match="vertex index out of range"):
+        load_obj(src0, 0)
