@@ -29,7 +29,11 @@ int64_t build_alias_table(
     float* out_pmf)
 {
     std::vector<float> alias_probabilities(probabilities, probabilities + length);
-    const float inv_length = 1.0f / static_cast<float>(length);
+    // DIVIDE, never multiply-by-reciprocal: the numpy fallback and the
+    // Rust reference compute pmf = p / length, and for non-power-of-two
+    // lengths p * (1/length) differs by 1 ulp on ~22% of entries
+    // (measured), breaking bit-compatibility of the NEE MIS pdf.
+    const float f_length = static_cast<float>(length);
 
     // Defaults: identity entries (probability 1, alias self) with their
     // TRUE weight-proportional pmf — leftovers' actual draw rate
@@ -40,7 +44,7 @@ int64_t build_alias_table(
     for (int64_t i = 0; i < length; ++i) {
         out_probability[i] = 1.0f;
         out_alias[i] = static_cast<int32_t>(i);
-        out_pmf[i] = probabilities[i] * inv_length;
+        out_pmf[i] = probabilities[i] / f_length;
     }
 
     std::vector<int64_t> small;
@@ -59,7 +63,7 @@ int64_t build_alias_table(
 
         out_probability[s] = alias_probabilities[s];
         out_alias[s] = static_cast<int32_t>(l);
-        out_pmf[s] = probabilities[s] * inv_length;
+        out_pmf[s] = probabilities[s] / f_length;
         ++assigned;
 
         alias_probabilities[l] =
@@ -107,11 +111,15 @@ struct Builder {
         }
     }
 
-    static double surface_area(const float* bmin, const float* bmax) {
-        const double dx = std::max(0.0f, bmax[0] - bmin[0]);
-        const double dy = std::max(0.0f, bmax[1] - bmin[1]);
-        const double dz = std::max(0.0f, bmax[2] - bmin[2]);
-        return 2.0 * (dx * dy + dx * dz + dy * dz);
+    // Float32 throughout, matching the numpy fallback's NEP-50
+    // promotion (and the f32 Rust reference): double intermediates
+    // would pick different buckets on near-tie splits and break the
+    // order-identical invariant.
+    static float surface_area(const float* bmin, const float* bmax) {
+        const float dx = std::max(0.0f, bmax[0] - bmin[0]);
+        const float dy = std::max(0.0f, bmax[1] - bmin[1]);
+        const float dz = std::max(0.0f, bmax[2] - bmin[2]);
+        return 2.0f * (dx * dy + dx * dz + dy * dz);
     }
 
     int64_t emit_leaf(int64_t lo, int64_t hi, const float* bmin, const float* bmax) {
@@ -138,7 +146,13 @@ struct Builder {
             }
         }
         const int64_t n_prims = hi - lo;
-        if (n_prims <= kMaxLeaf) return emit_leaf(lo, hi, bmin, bmax);
+        // Recursion guard: a pathological SAH tree can approach O(n)
+        // depth and overflow the C stack. Anything past the traversal
+        // stack's 64 is already rejected by the Python caller
+        // (accel/bvh.py), so degrading to a fat leaf here only changes
+        // the error path from SIGSEGV to a clean ValueError.
+        if (n_prims <= kMaxLeaf || depth >= 128)
+            return emit_leaf(lo, hi, bmin, bmax);
 
         float cmin[3] = {1e30f, 1e30f, 1e30f};
         float cmax[3] = {-1e30f, -1e30f, -1e30f};
@@ -157,13 +171,11 @@ struct Builder {
         else ax = 0;
         if (cmin[ax] == cmax[ax]) return emit_leaf(lo, hi, bmin, bmax);
 
-        const float scale = kBuckets / (cmax[ax] - cmin[ax]);
         auto bucket_of = [&](int64_t id) -> int {
             int b = static_cast<int>(kBuckets *
                 ((centroid(id, ax) - cmin[ax]) / (cmax[ax] - cmin[ax])));
             return std::min(b, kBuckets - 1);
         };
-        (void)scale;
 
         struct Bucket { int64_t count = 0; float bmin[3] = {1e30f,1e30f,1e30f}; float bmax[3] = {-1e30f,-1e30f,-1e30f}; };
         Bucket buckets[kBuckets];
@@ -177,9 +189,9 @@ struct Builder {
             }
         }
 
-        double best_cost = 1e300;
+        float best_cost = 1e30f;
         int best_split = 0;
-        const double sa_total = surface_area(bmin, bmax);
+        const float sa_total = surface_area(bmin, bmax);
         for (int split = 0; split < kBuckets - 1; ++split) {
             float lmin[3] = {1e30f,1e30f,1e30f}, lmax[3] = {-1e30f,-1e30f,-1e30f};
             float rmin[3] = {1e30f,1e30f,1e30f}, rmax[3] = {-1e30f,-1e30f,-1e30f};
@@ -200,9 +212,13 @@ struct Builder {
                     rmax[k] = std::max(rmax[k], buckets[b].bmax[k]);
                 }
             }
-            const double sa_l = lcount ? surface_area(lmin, lmax) : 0.0;
-            const double sa_r = rcount ? surface_area(rmin, rmax) : 0.0;
-            const double cost = 0.125 + (lcount * sa_l + rcount * sa_r) / sa_total;
+            const float sa_l = lcount ? surface_area(lmin, lmax) : 0.0f;
+            const float sa_r = rcount ? surface_area(rmin, rmax) : 0.0f;
+            // f32 op order mirrors the numpy fallback exactly:
+            // 0.125 + (cl*sa_l + cr*sa_r) / sa_total, first-min wins.
+            const float cost = 0.125f +
+                (static_cast<float>(lcount) * sa_l +
+                 static_cast<float>(rcount) * sa_r) / sa_total;
             if (cost < best_cost) { best_cost = cost; best_split = split; }
         }
 
@@ -257,9 +273,11 @@ int64_t build_bvh_sah(
     b.maxs = maxs;
     b.cx.resize(n); b.cy.resize(n); b.cz.resize(n);
     for (int64_t i = 0; i < n; ++i) {
-        b.cx[i] = 0.5f * mins[i * 3 + 0] + 0.5f * maxs[i * 3 + 0];
-        b.cy[i] = 0.5f * mins[i * 3 + 1] + 0.5f * maxs[i * 3 + 1];
-        b.cz[i] = 0.5f * mins[i * 3 + 2] + 0.5f * maxs[i * 3 + 2];
+        // (min + max) * 0.5 in f32, the numpy fallback's exact op order
+        // (0.5*min + 0.5*max rounds differently and can flip buckets).
+        b.cx[i] = (mins[i * 3 + 0] + maxs[i * 3 + 0]) * 0.5f;
+        b.cy[i] = (mins[i * 3 + 1] + maxs[i * 3 + 1]) * 0.5f;
+        b.cz[i] = (mins[i * 3 + 2] + maxs[i * 3 + 2]) * 0.5f;
     }
     b.ids.resize(n);
     for (int64_t i = 0; i < n; ++i) b.ids[i] = i;
@@ -274,39 +292,5 @@ int64_t build_bvh_sah(
     return b.node_len;
 }
 
-// ---------------------------------------------------------------------------
-// Fast OBJ face index pass (the Python tokenizer dominates load time for
-// big meshes). Parses only 'v'/'vn'/'f' records; faces fan-triangulated.
-// Returns triangle count, or -1 if a face lacks normal indices.
-int64_t parse_obj_counts(const char* text, int64_t len,
-                         int64_t* out_vertices, int64_t* out_normals,
-                         int64_t* out_triangles)
-{
-    int64_t nv = 0, nn = 0, nt = 0;
-    const char* p = text;
-    const char* end = text + len;
-    while (p < end) {
-        if (p[0] == 'v' && p + 1 < end && p[1] == ' ') nv++;
-        else if (p[0] == 'v' && p + 1 < end && p[1] == 'n') nn++;
-        else if (p[0] == 'f' && p + 1 < end && p[1] == ' ') {
-            int corners = 0;
-            const char* q = p + 1;
-            while (q < end && *q != '\n') {
-                while (q < end && *q == ' ') ++q;
-                if (q < end && *q != '\n' && *q != ' ') {
-                    ++corners;
-                    while (q < end && *q != ' ' && *q != '\n') ++q;
-                }
-            }
-            if (corners >= 3) nt += corners - 2;
-        }
-        while (p < end && *p != '\n') ++p;
-        ++p;
-    }
-    *out_vertices = nv;
-    *out_normals = nn;
-    *out_triangles = nt;
-    return nt;
-}
 
 }  // extern "C"

@@ -51,6 +51,7 @@ class FlatBVH:
     prim_type: np.ndarray
     prim_index: np.ndarray
     depth: int
+    source_order: np.ndarray  # (R,) original flat ids, ordered-prim -> source
 
     @property
     def num_nodes(self) -> int:
@@ -77,17 +78,27 @@ def scene_primitive_bounds(scene: Scene):
         maxs.append(b.max)
         types.append(1)
         indices.append(i)
+    # Vectorized triangle bounds: a per-triangle Python loop on a large
+    # mesh would dominate scene-load time before the (fast) native SAH
+    # build even starts.
     tv = scene.meshes.triangle_vertices()
-    for i in range(len(tv)):
-        mins.append(tv[i].min(axis=0))
-        maxs.append(tv[i].max(axis=0))
-        types.append(2)
-        indices.append(i)
-    if not mins:
+    n_tri = len(tv)
+    small_n = len(mins)
+    all_mins = np.empty((small_n + n_tri, 3), np.float32)
+    all_maxs = np.empty((small_n + n_tri, 3), np.float32)
+    if small_n:
+        all_mins[:small_n] = np.asarray(mins, np.float32)
+        all_maxs[:small_n] = np.asarray(maxs, np.float32)
+    if n_tri:
+        all_mins[small_n:] = tv.min(axis=1)
+        all_maxs[small_n:] = tv.max(axis=1)
+    types.extend([2] * n_tri)
+    indices.extend(range(n_tri))
+    if not len(all_mins):
         raise ValueError("cannot build BVH over an empty scene")
     return (
-        np.asarray(mins, np.float32),
-        np.asarray(maxs, np.float32),
+        all_mins,
+        all_maxs,
         np.asarray(types, np.int32),
         np.asarray(indices, np.int32),
     )
@@ -132,6 +143,16 @@ def _assemble(build, types, indices) -> FlatBVH:
         order,
         depth,
     ) = build
+    if depth >= TRAVERSAL_STACK_DEPTH:
+        # The device traversal clips stack pushes at 64 entries
+        # (ops/bvh_traverse.py) — same depth as the reference's WGSL
+        # stack — so a deeper tree would silently drop subtrees and
+        # miss real hits. Fail loudly instead.
+        raise ValueError(
+            f"BVH depth {depth} exceeds the {TRAVERSAL_STACK_DEPTH}-deep"
+            " traversal stack; the scene needs a larger stack or fewer"
+            " pathological primitives"
+        )
     return FlatBVH(
         nodes_min=nodes_min,
         nodes_max=nodes_max,
@@ -141,6 +162,7 @@ def _assemble(build, types, indices) -> FlatBVH:
         prim_type=types[order],
         prim_index=indices[order],
         depth=depth,
+        source_order=np.asarray(order, np.int64),
     )
 
 
@@ -293,7 +315,12 @@ def _build_python(mins: np.ndarray, maxs: np.ndarray):
 
 def validate_bvh(bvh: FlatBVH, mins: np.ndarray, maxs: np.ndarray, order_types=None):
     """Structural invariants: every primitive referenced exactly once, leaf
-    bounds contain their primitives, child bounds inside parents."""
+    bounds contain their primitives, child bounds inside parents.
+
+    `mins`/`maxs` are the ORIGINAL (pre-permutation) primitive bounds;
+    leaf containment checks them through the BVH's ordering arrays.
+    `order_types` (optional) cross-checks that the ordered prim_type
+    array is a permutation of the original types."""
     seen = np.zeros(bvh.num_primitives, bool)
     for k in range(bvh.num_nodes):
         if bvh.node_count[k] > 0:
@@ -301,9 +328,21 @@ def validate_bvh(bvh: FlatBVH, mins: np.ndarray, maxs: np.ndarray, order_types=N
             for j in range(start, start + bvh.node_count[k]):
                 assert not seen[j], "primitive referenced twice"
                 seen[j] = True
+                # Leaf bounds contain the primitive's original bounds.
+                src = bvh.source_order[j]
+                assert (mins[src] >= bvh.nodes_min[k] - 1e-5).all(), (
+                    f"leaf {k} does not contain primitive {src} (min)"
+                )
+                assert (maxs[src] <= bvh.nodes_max[k] + 1e-5).all(), (
+                    f"leaf {k} does not contain primitive {src} (max)"
+                )
         else:
             second = bvh.node_payload[k]
             for child in (k + 1, second):
                 assert (bvh.nodes_min[child] >= bvh.nodes_min[k] - 1e-5).all()
                 assert (bvh.nodes_max[child] <= bvh.nodes_max[k] + 1e-5).all()
     assert seen.all(), "primitive missing from BVH"
+    if order_types is not None:
+        assert np.array_equal(
+            np.sort(np.asarray(order_types)), np.sort(bvh.prim_type)
+        ), "ordered prim types are not a permutation of the originals"

@@ -250,9 +250,20 @@ def triangle_distances_fast(ro, rd, scene):
 
 
 def ray_intersects_bounds(ro, rd_inv, bounds_min, bounds_max):
-    """Slab AABB test with t in [0, inf), no t_max pruning — the exact
-    semantics of shader.wgsl:262-293 (including the flat-box/parallel-ray
-    miss behavior from inf*0 -> NaN comparisons rejecting the box).
+    """Slab AABB test with t in [0, inf), no t_max pruning
+    (shader.wgsl:262-293), with one DELIBERATE deviation on NaN axes:
+
+    A slab time goes NaN only when the origin sits exactly on a slab
+    plane with a +-0.0 direction component (0 * inf). WGSL's min/max
+    return the non-NaN operand, so when the OTHER slab time is -inf the
+    reference REJECTS the box — dropping hits on primitives lying in
+    that boundary plane (its linear fallback then recovers spheres and
+    planes but not triangles). Here a NaN axis is ignored entirely
+    (neutral elements for the max/min reductions), a CONSERVATIVE
+    accept: the chunk-cull users require never skipping a chunk the
+    dense sweep would hit, and in BVH mode this finds boundary-plane
+    hits the reference misses — a measure-zero divergence (exact
+    face-coincident origins only) outside the documented fma class.
 
     ro, rd_inv: (..., 3); bounds_*: (..., 3) broadcastable. Returns bool.
     """
