@@ -386,3 +386,52 @@ def test_divfree_occlusion_predicates_adversarial():
     np.testing.assert_array_equal(df_hits[clear], ref_hits[clear])
     # and even on-boundary, disagreements must be rare
     assert (df_hits != ref_hits).mean() < 1e-3
+
+
+def test_boundary_scene_keeps_a_pallas_path():
+    """A scene just past the unroll budget (180 tris + a sphere + a
+    plane) must land on the chunked path, not silently fall back to the
+    composed XLA sweep: triangle padding accounts for TOTAL lanes."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Plane,
+        Scene,
+        Sphere,
+    )
+
+    rng_ = np.random.default_rng(3)
+    n_tri = 180
+    vertices = rng_.normal(size=(n_tri * 3, 3)).astype(np.float32)
+    normals = np.array([[0.0, 0.0, 1.0]], np.float32)
+    tris = np.array(
+        [[3 * i, 3 * i + 1, 3 * i + 2, 0, 0, 0, 0] for i in range(n_tri)],
+        np.int32,
+    )
+    scene = Scene(
+        materials=[Material((0.5, 0.5, 0.5), 0.5, 0.0, (0, 0, 0))],
+        spheres=[Sphere(pos=(0, 0, -2), radius=0.5, material_id=0)],
+        planes=[
+            Plane(
+                pos=(-2, -1, -4), right=(4, 0, 0), forward=(0, 0, 4),
+                material_id=0,
+            )
+        ],
+        meshes=PackedMeshes(
+            vertices=vertices, normals=normals, triangles=tris
+        ),
+        camera=Camera(pos=[0, 0, 1], yaw=0, pitch=0, fov_y=1.2),
+    )
+    ds = build_device_scene(scene, pad_to=8)
+    # 180 tris pad to 192 (TRI_CHUNK multiples) because the sphere and
+    # plane lanes push the total past MAX_UNROLL_PRIMS.
+    assert ds.tri_valid.shape[0] % pallas_intersect.TRI_CHUNK == 0
+    assert pallas_intersect._chunked_applicable(ds)
+    # interpret mode is on via the autouse fixture
+    assert pallas_intersect.sweep_supported(ds)
+    assert pallas_intersect.chunked_trace_supported(ds)
