@@ -51,17 +51,42 @@ def main() -> int:
     resolution = (size, size)
     n_pixels = size * size
 
-    from rsoderh_raytracing_tpu.render.wavefront import render_freerun
+    from rsoderh_raytracing_tpu.render.wavefront import (
+        render_freerun,
+        render_spp_sync,
+    )
 
     spp = int(os.environ.get("BENCH_SPP", "16"))
+    # BENCH_MODE=sync renders bounce-synchronized exact-spp rounds
+    # (render_spp_sync) instead of the free-run budgeted wavefront; in
+    # that mode BENCH_ITERS means SAMPLES per timed call.
+    mode = os.environ.get("BENCH_MODE", "freerun")
     # Iteration budget per call: longer budgets amortize the wavefront
     # drain tail and the per-call sync (256 -> 123 Mrays/s, 1024 -> 127,
     # measured) — but a single device call must stay under the axon
     # tunnel's RPC deadline (~2 min): suzanne-class scenes run ~6x slower
     # per iteration, so they take a smaller per-call budget (a 1024-iter
     # suzanne call is ~4 min of device time and dies UNAVAILABLE).
-    default_iters = "1024" if scene_name in ("house", "default") else "128"
+    default_iters = {
+        "house": "1024",
+        "default": "1024",
+        "suzanne": "128",
+        "suzanne_hi": "16",
+    }.get(scene_name, "64")
+    if mode == "sync":
+        default_iters = {"suzanne_hi": "4"}.get(scene_name, "32")
     iterations = int(os.environ.get("BENCH_ITERS", default_iters))
+
+    def render_step(base_counts):
+        if mode == "sync":
+            return render_spp_sync(
+                ds, env, cam, base_counts, resolution,
+                np.uint32(iterations), max_bounces, with_stats=True,
+            )
+        return render_freerun(
+            ds, env, cam, base_counts, resolution,
+            np.uint32(iterations), max_bounces, with_stats=True,
+        )
 
     # --- timed free-run wavefront renders ---------------------------------
     # Every traced ray lands in the film (free-run keeps all lanes busy,
@@ -69,15 +94,8 @@ def main() -> int:
     # from the kernel's own ray counters.
     # Array-typed base counts from the start so the timed calls reuse the
     # same compiled executable (a scalar base would be a separate shape).
-    warmup_img, warmup_counts, _ = render_freerun(
-        ds,
-        env,
-        cam,
-        np.zeros((size, size), np.uint32),
-        resolution,
-        np.uint32(iterations),
-        max_bounces,
-        with_stats=True,
+    warmup_img, warmup_counts, _ = render_step(
+        np.zeros((size, size), np.uint32)
     )
     jax.block_until_ready(warmup_img)
     import jax.numpy as jnp
@@ -92,16 +110,7 @@ def main() -> int:
     for s in range(timed):
         # counts holds the PREVIOUS call's per-pixel sample tally; feeding
         # it back as base keeps every pixel's RNG stream advancing.
-        out, counts_dev, stats = render_freerun(
-            ds,
-            env,
-            cam,
-            counts,
-            resolution,
-            np.uint32(iterations),
-            max_bounces,
-            with_stats=True,
-        )
+        out, counts_dev, stats = render_step(counts)
         counts = counts + counts_dev
         # stats are O(1) scalars — reading them is the step sync point.
         total_rays += float(stats["closest_rays"] + stats["shadow_rays"])
@@ -114,7 +123,8 @@ def main() -> int:
 
     platform = jax.devices()[0].platform
     result = {
-        "metric": f"{scene_name}_{size} Mrays/s ({platform},"
+        "metric": f"{scene_name}_{size}"
+        f"{'_sync' if mode == 'sync' else ''} Mrays/s ({platform},"
         f" {max_bounces} bounces, {rays_per_pixel_sample:.2f} rays/px/spp)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",

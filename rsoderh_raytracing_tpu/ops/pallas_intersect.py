@@ -43,6 +43,13 @@ BLOCK = SUBLANES * LANES  # rays per grid step
 
 MAX_UNROLL_PRIMS = 192  # unrolled loop budget (house: 72, default: 40)
 MAX_LOOP_PRIMS = 2048  # fori_loop + dynamic SMEM reads (suzanne: 976)
+# Chunked-grid ceiling: the only per-scene SMEM resident that grows with
+# triangle count is the (n_chunks, 6) chunk-AABB table — 24 B/chunk, so
+# 65536 triangles (1024 chunks) cost 24 KB of the 1 MB SMEM budget; the
+# per-chunk constant windows are streamed and size-invariant. Scenes
+# beyond this fall (loudly — see render/wavefront.py) to the composed
+# XLA sweep.
+MAX_CHUNKED_TRIS = 65536
 
 INF = 3.0e38
 
@@ -67,7 +74,13 @@ def _total_prims(scene) -> int:
     )
 
 
-TRI_CHUNK = 64  # triangles per grid step in the chunked sweep (SMEM max: 128 needs 1.02MB of the 1MB budget - measured compile failure)
+# Triangles per grid step in the chunked sweep. The consolidated window
+# costs TRI_CHUNK * TRI_COLS * 4 B of SMEM (double-buffered): 5 KB at 64.
+# (The round-2 "128 needs 1.02 MB" compile failure was an artifact of
+# EIGHT separate per-column windows — SMEM window allocation pads per
+# row; one consolidated window removed it.) RT_TRI_CHUNK overrides for
+# measurement; 64 measured best (see PERFORMANCE.md round 3).
+TRI_CHUNK = int(os.environ.get("RT_TRI_CHUNK", "64"))
 
 
 def _loop_enabled() -> bool:
@@ -86,7 +99,7 @@ def _chunked_applicable(scene) -> bool:
     return (
         small + TRI_CHUNK <= MAX_UNROLL_PRIMS
         and n_tri % TRI_CHUNK == 0
-        and n_tri <= MAX_LOOP_PRIMS
+        and n_tri <= MAX_CHUNKED_TRIS
     )
 
 
@@ -339,11 +352,16 @@ def _sweep_body_loop(n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz):
     return state
 
 
-def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz):
-    """Conservative per-lane chunk-AABB slab test (NaN -> hit, no t_max):
-    which lanes possibly touch chunk `cidx`'s bounds? Padded-origin
-    vertices only ever ENLARGE bounds, so the cull never drops a triangle
-    the dense sweep would find."""
+def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz, t_max=None):
+    """Conservative per-lane chunk-AABB slab test (NaN -> hit): which
+    lanes possibly touch chunk `cidx`'s bounds? Padded-origin vertices
+    only ever ENLARGE bounds, so the cull never drops a triangle the
+    dense sweep would find. Optional per-lane `t_max` (the running best
+    hit) additionally rejects chunks whose slab ENTRY lies beyond it —
+    exact, since any triangle inside the chunk has t >= entry > best_t
+    and loses the strict `t < best_t` comparison anyway (ties keep the
+    incumbent). Rounding safety: chunk_bounds inflates the AABBs by
+    ~1e-5 relative, orders of magnitude above slab-arithmetic ulps."""
 
     def axis_slab(o, d, lo, hi):
         inv = 1.0 / d  # +-inf on axis-parallel rays
@@ -361,7 +379,10 @@ def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz):
     l2, h2 = axis_slab(oz, dz, bounds_ref[cidx, 2], bounds_ref[cidx, 5])
     t0 = jnp.maximum(jnp.maximum(l0, l1), jnp.maximum(l2, 0.0))
     t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
-    return t0 <= t1
+    hit = t0 <= t1
+    if t_max is not None:
+        hit = hit & (t0 <= t_max)
+    return hit
 
 
 def chunk_slab_any(bounds_ref, cidx, ox, oy, oz, dx, dy, dz):
@@ -369,36 +390,87 @@ def chunk_slab_any(bounds_ref, cidx, ox, oy, oz, dx, dy, dz):
     return jnp.any(chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz))
 
 
-def tri_chunk_hits(tri_refs, ox, oy, oz, dx, dy, dz):
+# Consolidated per-triangle constant columns: the chunked kernels stream
+# ONE (TRI_CHUNK, TRI_COLS) SMEM window per chunk instead of 8 separate
+# arrays — 8 window DMAs per grid step collapse to 1 (measured: the
+# per-step overhead, not the 64-triangle sweep, dominated the chunked
+# kernels' time; see PERFORMANCE.md round 3).
+C_CDET = 0  # ..2
+C_E0 = 3  # ..5
+C_E1 = 6  # ..8
+C_CU = 9  # ..11
+C_CV = 12  # ..14
+C_N = 15  # ..17
+C_ADOTN = 18
+C_VALID = 19
+TRI_COLS = 20
+
+
+def tri_const_table(scene):
+    """(n_tri, TRI_COLS) f32 consolidated triangle constants (layout
+    above; valid as 0/1 f32). Built from device-scene fields under jit —
+    loop-invariant, so XLA hoists it out of the wavefront while_loop."""
+    return jnp.concatenate(
+        [
+            scene.tri_cdet,
+            scene.tri_edge0,
+            scene.tri_edge1,
+            scene.tri_cu,
+            scene.tri_cv,
+            scene.tri_n,
+            scene.tri_adotn[:, None],
+            scene.tri_valid.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
     """Yield (i, t, hit) for each of a chunk window's TRI_CHUNK triangles
-    — the same expanded-triple-product test as _sweep_body, on (T, c)
-    SMEM window refs (per-triangle scalars as (T, 1))."""
-    (
-        tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
-        tri_valid,
-    ) = tri_refs
+    — the same expanded-triple-product test as _sweep_body, on the
+    consolidated (TRI_CHUNK, TRI_COLS) SMEM window ref."""
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
     for i in range(TRI_CHUNK):
         det = (
-            dx * tri_cdet[i, 0]
-            + dy * tri_cdet[i, 1]
-            + dz * tri_cdet[i, 2]
+            dx * tri_ref[i, C_CDET]
+            + dy * tri_ref[i, C_CDET + 1]
+            + dz * tri_ref[i, C_CDET + 2]
         )
         ok = jnp.abs(det) >= geo.TRI_DET_EPS
         inv = 1.0 / jnp.where(ok, det, 1.0)
         u = (
-            (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
-            + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
+            (
+                mx * tri_ref[i, C_E1]
+                + my * tri_ref[i, C_E1 + 1]
+                + mz * tri_ref[i, C_E1 + 2]
+            )
+            + (
+                dx * tri_ref[i, C_CU]
+                + dy * tri_ref[i, C_CU + 1]
+                + dz * tri_ref[i, C_CU + 2]
+            )
         ) * inv
         v = -(
-            (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
-            + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
+            (
+                mx * tri_ref[i, C_E0]
+                + my * tri_ref[i, C_E0 + 1]
+                + mz * tri_ref[i, C_E0 + 2]
+            )
+            + (
+                dx * tri_ref[i, C_CV]
+                + dy * tri_ref[i, C_CV + 1]
+                + dz * tri_ref[i, C_CV + 2]
+            )
         ) * inv
         t = (
-            (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
-            - tri_adotn[i, 0]
+            (
+                ox * tri_ref[i, C_N]
+                + oy * tri_ref[i, C_N + 1]
+                + oz * tri_ref[i, C_N + 2]
+            )
+            - tri_ref[i, C_ADOTN]
         ) * inv
         hit = (
             ok
@@ -407,12 +479,12 @@ def tri_chunk_hits(tri_refs, ox, oy, oz, dx, dy, dz):
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t >= geo.TRI_T_EPS)
-            & (tri_valid[i, 0] > 0)
+            & (tri_ref[i, C_VALID] > 0)
         )
         yield i, t, hit
 
 
-def tri_chunk_occluded(tri_refs, ox, oy, oz, dx, dy, dz):
+def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
     """Yield hit-only masks for a chunk window, DIVISION-FREE: every
     quotient comparison of tri_chunk_hits is replaced by its sign-scaled
     numerator form (u >= 0  <=>  u_num*sign(det) >= 0;  u <= 1  <=>
@@ -421,36 +493,47 @@ def tri_chunk_occluded(tri_refs, ox, oy, oz, dx, dy, dz):
     differ only where a rounded quotient lands exactly on a comparison
     boundary (ulp-scale bands — the same rare class as the documented
     fma-contraction trajectory flips). Occlusion needs no t value, so
-    the per-triangle divide disappears entirely."""
-    (
-        tri_cdet, tri_edge0, tri_edge1, tri_cu, tri_cv, tri_n, tri_adotn,
-        tri_valid,
-    ) = tri_refs
+    the per-triangle divide disappears entirely. Consumes the
+    consolidated (TRI_CHUNK, TRI_COLS) SMEM window ref."""
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
     for i in range(TRI_CHUNK):
         det = (
-            dx * tri_cdet[i, 0]
-            + dy * tri_cdet[i, 1]
-            + dz * tri_cdet[i, 2]
+            dx * tri_ref[i, C_CDET]
+            + dy * tri_ref[i, C_CDET + 1]
+            + dz * tri_ref[i, C_CDET + 2]
         )
         adet = jnp.abs(det)
         neg = det < 0.0
         un = (
-            (mx * tri_edge1[i, 0] + my * tri_edge1[i, 1] + mz * tri_edge1[i, 2])
-            + (dx * tri_cu[i, 0] + dy * tri_cu[i, 1] + dz * tri_cu[i, 2])
+            mx * tri_ref[i, C_E1]
+            + my * tri_ref[i, C_E1 + 1]
+            + mz * tri_ref[i, C_E1 + 2]
+        ) + (
+            dx * tri_ref[i, C_CU]
+            + dy * tri_ref[i, C_CU + 1]
+            + dz * tri_ref[i, C_CU + 2]
         )
         un = jnp.where(neg, -un, un)
         vn = -(
-            (mx * tri_edge0[i, 0] + my * tri_edge0[i, 1] + mz * tri_edge0[i, 2])
-            + (dx * tri_cv[i, 0] + dy * tri_cv[i, 1] + dz * tri_cv[i, 2])
+            (
+                mx * tri_ref[i, C_E0]
+                + my * tri_ref[i, C_E0 + 1]
+                + mz * tri_ref[i, C_E0 + 2]
+            )
+            + (
+                dx * tri_ref[i, C_CV]
+                + dy * tri_ref[i, C_CV + 1]
+                + dz * tri_ref[i, C_CV + 2]
+            )
         )
         vn = jnp.where(neg, -vn, vn)
         tn = (
-            (ox * tri_n[i, 0] + oy * tri_n[i, 1] + oz * tri_n[i, 2])
-            - tri_adotn[i, 0]
-        )
+            ox * tri_ref[i, C_N]
+            + oy * tri_ref[i, C_N + 1]
+            + oz * tri_ref[i, C_N + 2]
+        ) - tri_ref[i, C_ADOTN]
         tn = jnp.where(neg, -tn, tn)
         yield (
             (adet >= geo.TRI_DET_EPS)
@@ -459,21 +542,30 @@ def tri_chunk_occluded(tri_refs, ox, oy, oz, dx, dy, dz):
             & (vn >= 0.0)
             & (un + vn <= adet)
             & (tn >= geo.TRI_T_EPS * adet)
-            & (tri_valid[i, 0] > 0)
+            & (tri_ref[i, C_VALID] > 0)
         )
 
 
-def _chunked_closest_kernel(n_sph, n_pln, *args):
+def _chunked_closest_kernel(n_sph, n_pln, use_live, *args):
     """Grid (ray_blocks, tri_chunks): out blocks are revisited across the
     chunk axis (innermost), accumulating the closest hit; spheres+planes
     run once at chunk 0. Triangle constants arrive as SMEM windows of
     TRI_CHUNK rows — a few KB regardless of scene size. Each chunk is
-    guarded by a CONSERVATIVE chunk-AABB slab test (chunk_slab_any)."""
+    guarded by a CONSERVATIVE per-lane cull: the chunk-AABB slab test,
+    bounded by the running best hit (entry beyond best_t cannot win) and,
+    with use_live, restricted to lanes whose path is live (a dead lane's
+    sweep result is never consumed — see render/wavefront.py). The
+    sweep only runs when ANY lane survives all three."""
     bounds_ref = args[0]
     small_refs = args[1:11]
-    tri_refs = args[11:19]
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[19:25]
-    t_ref, type_ref, idx_ref = args[25:]
+    tri_ref = args[11]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[12:18]
+    if use_live:
+        live_ref = args[18]
+        t_ref, type_ref, idx_ref = args[19:]
+    else:
+        live_ref = None
+        t_ref, type_ref, idx_ref = args[18:]
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -481,8 +573,9 @@ def _chunked_closest_kernel(n_sph, n_pln, *args):
 
     @pl.when(j == 0)
     def _():
-        # 18-ref layout expected by _sweep_body; zero triangles processed.
-        refs = tuple(small_refs) + tuple(tri_refs)
+        # 18-ref layout expected by _sweep_body; zero triangles
+        # processed, so the tri positions are dummies.
+        refs = tuple(small_refs) + (tri_ref,) * 8
         best_t, best_type, best_idx = _sweep_body(
             n_sph, n_pln, 0, refs, ox, oy, oz, dx, dy, dz
         )
@@ -490,7 +583,14 @@ def _chunked_closest_kernel(n_sph, n_pln, *args):
         type_ref[:] = best_type
         idx_ref[:] = best_idx
 
-    chunk_live = chunk_slab_any(bounds_ref, j, ox, oy, oz, dx, dy, dz)
+    # Read AFTER the j==0 init (program order): t_ref holds the running
+    # best (small prims + chunks < j), making the cull best-t-bounded.
+    slab = chunk_slab_mask(
+        bounds_ref, j, ox, oy, oz, dx, dy, dz, t_max=t_ref[:]
+    )
+    if use_live:
+        slab = slab & (live_ref[:] != 0)
+    chunk_live = jnp.any(slab)
 
     @pl.when(chunk_live)
     def _():
@@ -499,7 +599,7 @@ def _chunked_closest_kernel(n_sph, n_pln, *args):
         best_idx = idx_ref[:]
         base = j * TRI_CHUNK
 
-        for i, t, hit in tri_chunk_hits(tri_refs, ox, oy, oz, dx, dy, dz):
+        for i, t, hit in tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
             better = hit & (t < best_t)
             best_t = jnp.where(better, t, best_t)
             best_type = jnp.where(better, 2, best_type)
@@ -518,16 +618,19 @@ def _chunked_any_kernel(n_sph, n_pln, use_mask, *args):
     only sweep when a MASKED lane's ray touches their bounds (the
     wavefront passes did_hit — miss lanes' occlusion is never consumed,
     and a masked lane whose ray misses the chunk AABB cannot be blocked
-    by that chunk, so skipping is exact for every consumed lane)."""
+    by that chunk, so skipping is exact for every consumed lane). Lanes
+    already occluded by an earlier chunk are likewise dropped from the
+    cull (OR-accumulation cannot change their result), so the sweep
+    early-exits once every consumed lane is blocked."""
     bounds_ref = args[0]
     small_refs = args[1:11]
-    tri_refs = args[11:19]
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[19:25]
+    tri_ref = args[11]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = args[12:18]
     if use_mask:
-        mask_ref = args[25]
-        (occ_ref,) = args[26:]
+        mask_ref = args[18]
+        (occ_ref,) = args[19:]
     else:
-        (occ_ref,) = args[25:]
+        (occ_ref,) = args[18:]
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -535,13 +638,16 @@ def _chunked_any_kernel(n_sph, n_pln, use_mask, *args):
 
     @pl.when(j == 0)
     def _():
-        refs = tuple(small_refs) + tuple(tri_refs)
+        refs = tuple(small_refs) + (tri_ref,) * 8
         best_t, _, _ = _sweep_body(
             n_sph, n_pln, 0, refs, ox, oy, oz, dx, dy, dz
         )
         occ_ref[:] = (best_t < INF).astype(jnp.int32)
 
+    # Read AFTER the j==0 init (program order): lanes already occluded
+    # cannot change, so they stop forcing chunk sweeps.
     slab = chunk_slab_mask(bounds_ref, j, ox, oy, oz, dx, dy, dz)
+    slab = slab & (occ_ref[:] == 0)
     if use_mask:
         slab = slab & (mask_ref[:] != 0)
     chunk_live = jnp.any(slab)
@@ -549,7 +655,7 @@ def _chunked_any_kernel(n_sph, n_pln, use_mask, *args):
     @pl.when(chunk_live)
     def _():
         occ = occ_ref[:] != 0
-        for hit in tri_chunk_occluded(tri_refs, ox, oy, oz, dx, dy, dz):
+        for hit in tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
             occ = occ | hit
         occ_ref[:] = occ.astype(jnp.int32)
 
@@ -571,11 +677,19 @@ def chunk_bounds(scene):
     return jnp.concatenate([cmin - eps, cmax + eps], axis=-1)
 
 
-def chunked_closest_tiles(scene, ro_t, rd_t, sublanes=None):
+def chunked_closest_tiles(scene, ro_t, rd_t, live_mask=None, sublanes=None):
     """Chunked closest sweep directly on (rows, LANES) component-tile
     3-tuples. Returns (t, ptype, pidx) tiles. `sublanes` sets the ray
-    block height (rows must divide by it)."""
-    return _chunked_tiles_call(scene, ro_t + rd_t, sublanes, any_only=False)
+    block height (rows must divide by it). Optional live_mask (i32 tile)
+    tightens the chunk cull to live lanes (dead lanes keep whatever the
+    small-prim sweep produced — callers must not consume them)."""
+    comps = ro_t + rd_t
+    if live_mask is not None:
+        comps = comps + (live_mask,)
+    return _chunked_tiles_call(
+        scene, comps, sublanes, any_only=False,
+        use_mask=live_mask is not None,
+    )
 
 
 def chunked_any_tiles(scene, ro_t, rd_t, hit_mask=None, sublanes=None):
@@ -609,23 +723,19 @@ def _chunked_tiles_call(
 
     refs = _scene_refs(scene)
     small_refs = refs[:10]
-    # Mosaic requires rank-1 blocks to be 128-multiples; keep the per-
-    # triangle scalars as (T, 1) so every block is rank 2.
-    tri_arrays = tuple(
-        arr if arr.ndim == 2 else arr.reshape(-1, 1) for arr in refs[10:]
-    )
+    # ONE consolidated (n_tri, TRI_COLS) constant table -> one SMEM
+    # window DMA per chunk step (8 separate windows cost ~6 us/step of
+    # pure overhead — measured; see PERFORMANCE.md round 3).
+    tri_const = tri_const_table(scene)
 
     bounds = chunk_bounds(scene)
 
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
-    tri_specs = [
-        pl.BlockSpec(
-            (TRI_CHUNK, arr.shape[1]),
-            lambda i, j: (j, 0),
-            memory_space=pltpu.SMEM,
-        )
-        for arr in tri_arrays
-    ]
+    tri_spec = pl.BlockSpec(
+        (TRI_CHUNK, TRI_COLS),
+        lambda i, j: (j, 0),
+        memory_space=pltpu.SMEM,
+    )
     ray_block = pl.BlockSpec(
         (sub, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
     )
@@ -636,18 +746,18 @@ def _chunked_tiles_call(
             partial(_chunked_any_kernel, n_sph, n_pln, use_mask),
             grid=(grid_rays, n_chunks),
             in_specs=(
-                [smem_full] * 11 + tri_specs + [ray_block] * n_ray_ins
+                [smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins
             ),
             out_specs=(ray_block,),
             out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.int32),),
             interpret=_interpret(),
-        )(bounds, *small_refs, *tri_arrays, *comps)
+        )(bounds, *small_refs, tri_const, *comps)
         return (occ,)
 
     return pl.pallas_call(
-        partial(_chunked_closest_kernel, n_sph, n_pln),
+        partial(_chunked_closest_kernel, n_sph, n_pln, use_mask),
         grid=(grid_rays, n_chunks),
-        in_specs=[smem_full] * 11 + tri_specs + [ray_block] * n_ray_ins,
+        in_specs=[smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins,
         out_specs=(ray_block, ray_block, ray_block),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -655,7 +765,7 @@ def _chunked_tiles_call(
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
         interpret=_interpret(),
-    )(bounds, *small_refs, *tri_arrays, *comps)
+    )(bounds, *small_refs, tri_const, *comps)
 
 
 def _chunked_call(scene, ro, rd, any_only: bool = False):

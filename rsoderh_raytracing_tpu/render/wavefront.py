@@ -134,6 +134,161 @@ def render_freerun(
     return image, counts
 
 
+@partial(
+    jax.jit,
+    static_argnames=("resolution", "max_bounces", "with_stats"),
+)
+def render_spp_sync(
+    scene: DeviceScene,
+    env: DeviceEnvironment,
+    camera,
+    base_counts,
+    resolution,
+    rounds,
+    max_bounces: int = MAX_BOUNCES,
+    with_stats: bool = False,
+):
+    """Bounce-synchronized progressive rendering: each round renders ONE
+    sample for every pixel — all lanes launch the round's primary rays
+    together and the wavefront drains completely (no mid-flight
+    regeneration) before the next round starts. Per-(pixel, sample)
+    paths and RNG streams are identical to render_wavefront /
+    render_freerun, and per-lane film accumulation happens in the same
+    sample order, so the image is bit-equal to render_wavefront(spp=
+    rounds) on the same backend path.
+
+    The trade vs free-run: lane utilization is LOWER (lanes idle while
+    the round's deepest path finishes) but every lane in a tile is at
+    the same bounce depth, so the big-scene chunk culls also fire for
+    bounce-0 iterations of mesh-covering blocks (free-run only gets
+    coherence in blocks whose paths are all one segment). Which wins is
+    scene-dependent — measured on TPU in PERFORMANCE.md.
+
+    base_counts: per-pixel starting sample index, (H, W) uint32 or
+    scalar. Returns (sum image (H,W,3), counts (H,W) uint32[, stats]).
+    """
+    width, height = resolution
+    n = width * height
+    pixel_x, pixel_y, to_lanes, from_lanes = _lane_order(width, height)
+    pixel_index = (
+        pixel_y.astype(jnp.uint32) * jnp.uint32(width)
+        + pixel_x.astype(jnp.uint32)
+    )
+    base = jnp.asarray(base_counts, jnp.uint32)
+    if base.ndim >= 2:
+        base = to_lanes(base)
+    else:
+        base = jnp.broadcast_to(base.reshape(-1), (n,))
+
+    def body(r, acc):
+        film, counts, closest, shadow, iters = acc
+        f, c, st = wavefront_loop_custom(
+            scene,
+            env,
+            camera,
+            pixel_index,
+            pixel_x,
+            pixel_y,
+            resolution,
+            base + jnp.uint32(r),
+            lambda local: local,
+            jnp.uint32(1),
+            jnp.uint32(0xFFFFFFFF),
+            max_bounces,
+        )
+        return (
+            film + f,
+            counts + c,
+            closest + st["closest_rays"],
+            shadow + st["shadow_rays"],
+            iters + st["iterations"],
+        )
+
+    film, counts, closest, shadow, iters = jax.lax.fori_loop(
+        0,
+        jnp.asarray(rounds, jnp.int32),
+        body,
+        (
+            jnp.zeros((n, 3), jnp.float32),
+            jnp.zeros((n,), jnp.uint32),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.uint32(0),
+        ),
+    )
+    image = from_lanes(film)
+    counts = from_lanes(counts)
+    if with_stats:
+        stats = {
+            "closest_rays": closest,
+            "shadow_rays": shadow,
+            "iterations": iters,
+        }
+        return image, counts, stats
+    return image, counts
+
+
+# Block-major lane order: one sweep tile (pallas_intersect.SUBLANES x
+# LANES lanes) covers a BLOCK_H x BLOCK_W pixel RECTANGLE instead of a
+# few full-width rows. Rays in a rectangle share a narrow frustum, so
+# the chunked kernels' per-tile chunk-AABB culls actually fire: blocks
+# that never see the mesh (sky / plane-only regions regenerate a
+# coherent primary ray every iteration — their paths are one segment
+# long) skip every triangle chunk, even in free-run where bounce depth
+# desynchronizes within mesh-covering blocks. Pure layout transform:
+# each lane still owns exactly one pixel's RNG stream, so per-pixel
+# results are bitwise identical to the row-major order.
+BLOCK_H = 64  # = pallas_intersect.SUBLANES (the sweep tile height)
+BLOCK_W = 128  # = pallas_intersect.LANES
+
+
+def _lane_order(width, height):
+    """(pixel_x, pixel_y, from_lanes) for the lane->pixel mapping:
+    block-major when the resolution tiles exactly, else row-major.
+    from_lanes maps flat (n, ...) lane arrays back to (H, W, ...)."""
+    import os
+
+    n = width * height
+    if (
+        width % BLOCK_W == 0
+        and height % BLOCK_H == 0
+        and os.environ.get("RT_DISABLE_BLOCK_REMAP") != "1"
+    ):
+        bh, bw = BLOCK_H, BLOCK_W
+
+        def to_lanes(img):
+            tail = img.shape[2:]
+            return img.reshape(
+                height // bh, bh, width // bw, bw, *tail
+            ).swapaxes(1, 2).reshape(n, *tail)
+
+        def from_lanes(flat):
+            tail = flat.shape[1:]
+            return flat.reshape(
+                height // bh, width // bw, bh, bw, *tail
+            ).swapaxes(1, 2).reshape(height, width, *tail)
+
+        xx = jnp.broadcast_to(
+            jnp.arange(width, dtype=jnp.int32)[None, :], (height, width)
+        )
+        yy = jnp.broadcast_to(
+            jnp.arange(height, dtype=jnp.int32)[:, None], (height, width)
+        )
+        return to_lanes(xx), to_lanes(yy), to_lanes, from_lanes
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pixel_x = (lane % width).astype(jnp.int32)
+    pixel_y = (lane // width).astype(jnp.int32)
+
+    def to_lanes(img):
+        return img.reshape(n, *img.shape[2:])
+
+    def from_lanes(flat):
+        return flat.reshape(height, width, *flat.shape[1:])
+
+    return pixel_x, pixel_y, to_lanes, from_lanes
+
+
 def _wavefront_loop(
     scene: DeviceScene,
     env: DeviceEnvironment,
@@ -146,17 +301,21 @@ def _wavefront_loop(
 ):
     width, height = resolution
     n = width * height
-    lane = jnp.arange(n, dtype=jnp.uint32)
-    pixel_x = (lane % width).astype(jnp.int32)
-    pixel_y = (lane // width).astype(jnp.int32)
-    base_sample = jnp.broadcast_to(
-        jnp.asarray(base_sample, jnp.uint32).reshape(-1), (n,)
+    pixel_x, pixel_y, to_lanes, from_lanes = _lane_order(width, height)
+    pixel_index = (
+        pixel_y.astype(jnp.uint32) * jnp.uint32(width)
+        + pixel_x.astype(jnp.uint32)
     )
+    base_sample = jnp.asarray(base_sample, jnp.uint32)
+    if base_sample.ndim >= 2:
+        base_sample = to_lanes(base_sample)
+    else:
+        base_sample = jnp.broadcast_to(base_sample.reshape(-1), (n,))
     img, counts, stats = wavefront_loop_custom(
         scene,
         env,
         camera,
-        lane,
+        pixel_index,
         pixel_x,
         pixel_y,
         resolution,
@@ -166,7 +325,7 @@ def _wavefront_loop(
         iteration_budget,
         max_bounces,
     )
-    return img.reshape(height, width, 3), counts.reshape(height, width), stats
+    return from_lanes(img), from_lanes(counts), stats
 
 
 def wavefront_loop_custom(
@@ -198,12 +357,35 @@ def wavefront_loop_custom(
     spp = jnp.asarray(spp, jnp.uint32)
     iteration_budget = jnp.asarray(iteration_budget, jnp.uint32)
 
-    from rsoderh_raytracing_tpu.ops import pallas_wavefront
+    from rsoderh_raytracing_tpu.ops import pallas_intersect, pallas_wavefront
 
     if pallas_wavefront.supported(scene) and env.quad.dtype == jnp.uint32:
         return _kernel_loop(
             scene, env, camera, pixel_index, pixel_x, pixel_y, resolution,
             base_sample, sample_map, spp, iteration_budget, max_bounces,
+        )
+
+    if (
+        pallas_intersect.pallas_enabled()
+        and scene.bvh is None
+        and pallas_intersect._total_prims(scene)
+        > pallas_intersect.MAX_UNROLL_PRIMS
+        and not pallas_intersect._chunked_applicable(scene)
+    ):
+        # The cliff is LOUD: scenes past every kernel path pay the
+        # composed XLA dense sweep, measured ~10x slower in context
+        # (PERFORMANCE.md "composed-XLA fallback"). Deliberate opt-outs
+        # (RT_DISABLE_WFKERNELS / RT_DISABLE_PALLAS) don't reach here.
+        import warnings
+
+        n_tri = scene.tri_valid.shape[0]
+        warnings.warn(
+            f"scene ({n_tri} padded triangle lanes) exceeds every Pallas "
+            f"kernel path (chunked ceiling {pallas_intersect.MAX_CHUNKED_TRIS}"
+            " triangles); rendering on the composed XLA sweep, which is"
+            " ~10x slower at scale",
+            RuntimeWarning,
+            stacklevel=2,
         )
 
     env_h, env_w = env.texture_shape[0], env.texture_shape[1]
@@ -525,8 +707,11 @@ def _kernel_loop(
             sub = pint.SUBLANES if rows % pint.SUBLANES == 0 else pwf.SUBLANES
             ro_t = (c["ro0"], c["ro1"], c["ro2"])
             rd_t = (c["rd0"], c["rd1"], c["rd2"])
+            # Dead lanes (finished pixels / drained budget) never have
+            # their sweep results consumed (_shade_core gates everything
+            # on in_path), so they are dropped from the chunk culls.
             t, btype, bidx = pint.chunked_closest_tiles(
-                scene, ro_t, rd_t, sublanes=sub
+                scene, ro_t, rd_t, live_mask=c["in_path"], sublanes=sub
             )
             did_hit = btype >= 0
             t_safe = jnp.where(did_hit, t, 0.0)
@@ -535,7 +720,7 @@ def _kernel_loop(
             pz = c["ro2"] + c["rd2"] * t_safe
             occ = pint.chunked_any_tiles(
                 scene, (px, py, pz), nd_t,
-                hit_mask=did_hit.astype(jnp.int32),
+                hit_mask=(did_hit & (c["in_path"] != 0)).astype(jnp.int32),
                 sublanes=sub,
             )
             n_sph = scene.sph_radius.shape[0]

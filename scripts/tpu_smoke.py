@@ -5,16 +5,26 @@ CPU tests (tests/) cover the composed XLA body; the two-Pallas-kernel
 production path only activates on real TPU hardware. This script re-runs
 the cross-checks used to validate it:
 
-1. kernel path vs composed XLA path at 1 spp (expect ~99.9% of pixels
-   bitwise-equal; the rest are fma-contraction trajectory flips),
-2. sharded (1x1 mesh, shard_map) == unsharded, bitwise,
-3. fused_trace vs composed closest_hit/any_hit/material takes.
+1.  kernel path vs composed XLA path at 1 spp (expect ~99.9% of pixels
+    bitwise-equal; the rest are fma-contraction trajectory flips),
+1b. big-scene (chunked + mega-shade) path vs composed on suzanne,
+1c. lifted-ceiling path vs composed on suzanne_hi (15,488 tris),
+2.  sharded (shard_map) == unsharded, bitwise,
+3.  fused_trace vs composed closest_hit/any_hit/material takes,
+4.  bounce-synchronized rounds (render_spp_sync) == render_wavefront,
+    bitwise, on the kernel path.
 
-Run on the TPU host:  python scripts/tpu_smoke.py
+Run on the TPU host:  python scripts/tpu_smoke.py [--json docs/tpu_smoke_rNN.json]
+
+The JSON artifact records each check's measured numbers so kernel-state
+divergence regressions are visible round over round (VERDICT round 2,
+"what's weak" #4).
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
 
@@ -23,8 +33,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
+CHECKS = []
+
+
+def record(name, ok, **metrics):
+    CHECKS.append({"name": name, "ok": bool(ok), **metrics})
+    print(f"[{'ok' if ok else 'FAIL'}] {name}: "
+          + " ".join(f"{k}={v}" for k, v in metrics.items()))
+    return not ok
+
 
 def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json", default=None, help="write results JSON here")
+    args = parser.parse_args()
+
     import jax
 
     from rsoderh_raytracing_tpu import load_scene
@@ -42,6 +65,7 @@ def main() -> int:
     from rsoderh_raytracing_tpu.render.integrator import camera_pytree
     from rsoderh_raytracing_tpu.render.wavefront import (
         render_freerun,
+        render_spp_sync,
         render_wavefront,
     )
     from rsoderh_raytracing_tpu.scene.device import build_device_scene
@@ -58,44 +82,52 @@ def main() -> int:
     size = 256
     failures = 0
 
+    def kernel_vs_composed(name, dscene, camera, px):
+        nonlocal failures
+        img_k = np.asarray(
+            render_wavefront(
+                dscene, env, camera, np.uint32(0), (px, px), np.uint32(1)
+            )
+        )
+        os.environ["RT_DISABLE_WFKERNELS"] = "1"
+        render_wavefront.clear_cache()
+        img_x = np.asarray(
+            render_wavefront(
+                dscene, env, camera, np.uint32(0), (px, px), np.uint32(1)
+            )
+        )
+        del os.environ["RT_DISABLE_WFKERNELS"]
+        render_wavefront.clear_cache()
+        eq = np.abs(img_k - img_x).max(-1) <= 1e-5
+        frac = float(eq.mean())
+        failures += record(
+            name, frac > 0.995,
+            pixels_bit_equal_frac=round(frac, 6),
+            diverging_pixels=int((~eq).sum()),
+            size=px,
+        )
+
     # 1. kernel vs composed at 1 spp --------------------------------------
     assert pallas_wavefront.supported(ds), "kernel path not engaged"
-    img_k = np.asarray(
-        render_wavefront(ds, env, cam, np.uint32(0), (size, size), np.uint32(1))
-    )
-    os.environ["RT_DISABLE_WFKERNELS"] = "1"
-    render_wavefront.clear_cache()
-    img_x = np.asarray(
-        render_wavefront(ds, env, cam, np.uint32(0), (size, size), np.uint32(1))
-    )
-    del os.environ["RT_DISABLE_WFKERNELS"]
-    render_wavefront.clear_cache()
-    frac = float((np.abs(img_k - img_x).max(-1) <= 1e-5).mean())
-    ok = frac > 0.995
-    failures += not ok
-    print(f"[{'ok' if ok else 'FAIL'}] kernel vs composed 1spp: "
-          f"{frac * 100:.2f}% pixels equal (expect > 99.5%)")
+    kernel_vs_composed("house kernel vs composed 1spp", ds, cam, size)
 
     # 1b. big-scene (chunked + mega-shade) kernel path vs composed --------
-    suz = build_device_scene(load_scene("assets/scenes/suzanne.toml"))
+    suz_scene = load_scene("assets/scenes/suzanne.toml")
+    suz = build_device_scene(suz_scene)
+    suz_cam = camera_pytree(suz_scene.camera)
     assert pallas_intersect.chunked_trace_supported(suz), "big path off"
-    img_k = np.asarray(
-        render_wavefront(suz, env, cam, np.uint32(0), (size, size),
-                         np.uint32(1))
+    kernel_vs_composed(
+        "suzanne big-scene kernel vs composed 1spp", suz, suz_cam, size
     )
-    os.environ["RT_DISABLE_WFKERNELS"] = "1"
-    render_wavefront.clear_cache()
-    img_x = np.asarray(
-        render_wavefront(suz, env, cam, np.uint32(0), (size, size),
-                         np.uint32(1))
+
+    # 1c. lifted ceiling: suzanne_hi (15,488 tris) on the chunked path ----
+    hi_scene = load_scene("assets/scenes/suzanne_hi.toml")
+    hi = build_device_scene(hi_scene)
+    hi_cam = camera_pytree(hi_scene.camera)
+    assert pallas_intersect.chunked_trace_supported(hi), "hi path off"
+    kernel_vs_composed(
+        "suzanne_hi (15488 tris) kernel vs composed 1spp", hi, hi_cam, 128
     )
-    del os.environ["RT_DISABLE_WFKERNELS"]
-    render_wavefront.clear_cache()
-    frac = float((np.abs(img_k - img_x).max(-1) <= 1e-5).mean())
-    ok = frac > 0.995
-    failures += not ok
-    print(f"[{'ok' if ok else 'FAIL'}] big-scene kernel vs composed 1spp: "
-          f"{frac * 100:.2f}% pixels equal (expect > 99.5%)")
 
     # 2. sharded == unsharded, bitwise ------------------------------------
     mesh = make_mesh(n_devices=len(jax.devices()), tile=1)
@@ -111,15 +143,15 @@ def main() -> int:
         same = np.array_equal(np.asarray(img_s), np.asarray(img_u)) and (
             np.array_equal(np.asarray(cnt_s), np.asarray(cnt_u))
         )
-        failures += not same
-        print(f"[{'ok' if same else 'FAIL'}] sharded (1x1) == unsharded, "
-              "bitwise")
+        failures += record(
+            "sharded (1x1) == unsharded", same, bitwise=same
+        )
     else:
         finite = bool(np.isfinite(np.asarray(img_s)).all())
-        failures += not finite
-        print(f"[{'ok' if finite else 'FAIL'}] sharded "
-              f"{dict(mesh.shape)} ran (multi-device: streams differ by "
-              "design; checked finite)")
+        failures += record(
+            "sharded multi-device ran (streams differ by design)",
+            finite, mesh=str(dict(mesh.shape)),
+        )
 
     # 3. fused_trace vs composed ------------------------------------------
     rng_np = np.random.default_rng(0)
@@ -134,17 +166,45 @@ def main() -> int:
     )
     hit = closest_hit(ds, ro, rd)
     occ = any_hit(ds, hit.point, sd)
+    normal_max = float(np.abs(np.asarray(n_f) - np.asarray(hit.normal)).max())
     ok = (
         np.array_equal(np.asarray(hit_f), np.asarray(hit.did_hit))
         and np.array_equal(np.asarray(occ_f), np.asarray(occ))
         and np.abs(np.asarray(pt_f) - np.asarray(hit.point)).max() == 0.0
-        and np.abs(np.asarray(n_f) - np.asarray(hit.normal)).max() < 1e-6
+        and normal_max < 1e-6
     )
-    failures += not ok
-    print(f"[{'ok' if ok else 'FAIL'}] fused_trace == composed "
-          "(masks/points exact, normals < 1e-6)")
+    failures += record(
+        "fused_trace == composed", ok, normal_abs_max=normal_max
+    )
+
+    # 4. spp-sync rounds == wavefront, bitwise, kernel path ----------------
+    for nm, dscene, camera in (
+        ("house", ds, cam),
+        ("suzanne", suz, suz_cam),
+    ):
+        img_sync, cnt_sync = render_spp_sync(
+            dscene, env, camera, np.uint32(0), (size, size), np.uint32(2)
+        )
+        img_wf = render_wavefront(
+            dscene, env, camera, np.uint32(0), (size, size), 2
+        )
+        same = np.array_equal(np.asarray(img_sync), np.asarray(img_wf))
+        counts_ok = bool((np.asarray(cnt_sync) == 2).all())
+        failures += record(
+            f"spp_sync == wavefront ({nm}, 2 rounds)",
+            same and counts_ok, bitwise=same,
+        )
 
     print("smoke:", "PASS" if failures == 0 else f"{failures} FAILURES")
+    if args.json:
+        payload = {
+            "backend": jax.default_backend(),
+            "checks": CHECKS,
+            "pass": failures == 0,
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print("wrote", args.json)
     return 1 if failures else 0
 
 

@@ -309,13 +309,15 @@ def test_divfree_occlusion_predicates_adversarial():
     n = np.cross(e0, e1).astype(np.float32)
     adotn = (a * n).sum(-1).astype(np.float32)
 
-    def col(x):
-        return x.reshape(TRI_CHUNK, -1).astype(np.float32)
-
-    tri_refs = (
-        col(cdet), col(e0), col(e1), col(cu), col(cv), col(n),
-        col(adotn), valid.reshape(TRI_CHUNK, 1),
-    )
+    # consolidated (TRI_CHUNK, TRI_COLS) window (pallas_intersect layout)
+    tri_refs = np.concatenate(
+        [
+            cdet, e0, e1, cu, cv, n,
+            adotn.reshape(TRI_CHUNK, 1),
+            valid.astype(np.float32).reshape(TRI_CHUNK, 1),
+        ],
+        axis=1,
+    ).astype(np.float32)
 
     # Rays: aimed near triangle interiors/edges (barycentric samples
     # around the [0,1] boundaries) plus axis-parallel directions.
@@ -435,3 +437,183 @@ def test_boundary_scene_keeps_a_pallas_path():
     # interpret mode is on via the autouse fixture
     assert pallas_intersect.sweep_supported(ds)
     assert pallas_intersect.chunked_trace_supported(ds)
+
+
+def test_chunked_culls_preserve_results(assets_dir):
+    """The per-lane chunk culls (best-t bound, live mask, occlusion
+    early-exit) are exact: live lanes' closest results and masked lanes'
+    occlusion results are bitwise identical with and without the masks,
+    under adversarial rays — origins inside the mesh bounds, exactly
+    axis-parallel directions (slab 0*inf NaN handling), and rays whose
+    first hit is the near plane (tiny best_t bounds)."""
+    import os as _os
+
+    import jax.numpy as jnp
+
+    from rsoderh_raytracing_tpu import load_scene
+    from rsoderh_raytracing_tpu.ops import intersect, pallas_intersect as pint
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    scene = load_scene(_os.path.join(assets_dir, "scenes", "suzanne.toml"))
+    ds = build_device_scene(scene)
+    assert pint._use_chunked(ds)
+
+    rng = np.random.default_rng(11)
+    n = 512
+    ro = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    # axis-parallel rays: exact zero components
+    rd[:48] = 0.0
+    rd[0:16, 0] = 1.0
+    rd[16:32, 1] = -1.0
+    rd[32:48, 2] = 1.0
+    # rays from below aimed up through the ground plane (near first hit)
+    ro[48:96] = np.array([0.0, -3.0, 0.0], np.float32)
+    rd[48:96] = np.array([0.0, 1.0, 0.0], np.float32)
+    live = rng.integers(0, 2, size=n).astype(np.int32)
+
+    n_pad = -(-n // pint.BLOCK) * pint.BLOCK
+
+    def tile1(v, fill):
+        c = np.concatenate(
+            [v, np.full((n_pad - n,), fill, v.dtype)]
+        )
+        return jnp.asarray(c.reshape(n_pad // pint.LANES, pint.LANES))
+
+    ro_t = tuple(tile1(ro[:, k], np.float32(1.0)) for k in range(3))
+    rd_t = tuple(tile1(rd[:, k], np.float32(1.0)) for k in range(3))
+    live_t = tile1(live, np.int32(0))
+
+    # closest: unmasked vs live-masked, bitwise on live lanes
+    t0, ty0, ix0 = (
+        np.asarray(x).reshape(-1)[:n]
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t)
+    )
+    t1, ty1, ix1 = (
+        np.asarray(x).reshape(-1)[:n]
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t, live_mask=live_t)
+    )
+    m = live != 0
+    np.testing.assert_array_equal(ty1[m], ty0[m])
+    np.testing.assert_array_equal(ix1[m], ix0[m])
+    np.testing.assert_array_equal(t1[m], t0[m])
+
+    # closest (with its always-on best-t cull) vs the XLA dense sweep
+    t_x, ty_x, ix_x = map(np.asarray, intersect._sweep_xla(ds, ro, rd))
+    np.testing.assert_array_equal(ty0, ty_x)
+    hit = ty_x >= 0
+    assert hit.sum() > 50 and (ty_x == 2).sum() > 10
+    np.testing.assert_array_equal(ix0[hit], ix_x[hit])
+    np.testing.assert_allclose(t0[hit], t_x[hit], rtol=1e-5)
+
+    # occlusion: unmasked vs masked (+ early-exit), bitwise on masked lanes
+    (occ0,) = (
+        np.asarray(x).reshape(-1)[:n]
+        for x in [pint.chunked_any_tiles(ds, ro_t, rd_t)]
+    )
+    (occ1,) = (
+        np.asarray(x).reshape(-1)[:n]
+        for x in [pint.chunked_any_tiles(ds, ro_t, rd_t, hit_mask=live_t)]
+    )
+    np.testing.assert_array_equal(occ1[m], occ0[m])
+    np.testing.assert_array_equal(occ0 != 0, ty_x >= 0)
+
+
+def test_suzanne_hi_on_chunked_path(assets_dir):
+    """The lifted chunked ceiling (MAX_CHUNKED_TRIS) keeps a >10k-triangle
+    scene on the kernel path: suzanne_hi (15,488 tris, 242 chunks) is
+    chunk-applicable and its closest sweep matches the XLA dense sweep."""
+    import os as _os
+
+    from rsoderh_raytracing_tpu import load_scene
+    from rsoderh_raytracing_tpu.ops import intersect, pallas_intersect
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    scene = load_scene(
+        _os.path.join(assets_dir, "scenes", "suzanne_hi.toml")
+    )
+    assert scene.meshes.triangles.shape[0] == 15488
+    ds = build_device_scene(scene)
+    assert ds.tri_valid.shape[0] == 15488  # 242 chunks exactly
+    assert pallas_intersect._chunked_applicable(ds)
+    assert pallas_intersect._use_chunked(ds)
+    assert pallas_intersect.chunked_trace_supported(ds)
+
+    ro, _ = _random_rays(128, seed=9)
+    ro[:, 2] += 6.0
+    # aim at the head (jittered) so triangle hits are plentiful
+    rng = np.random.default_rng(10)
+    target = rng.normal(0.0, 0.4, size=(128, 3)).astype(np.float32)
+    rd = target - ro
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    t_p, ty_p, ix_p = map(
+        np.asarray, pallas_intersect.closest_sweep(ds, ro, rd)
+    )
+    t_x, ty_x, ix_x = map(np.asarray, intersect._sweep_xla(ds, ro, rd))
+    np.testing.assert_array_equal(ty_p, ty_x)
+    hit = ty_x >= 0
+    assert (ty_x == 2).sum() > 5
+    np.testing.assert_array_equal(ix_p[hit], ix_x[hit])
+    np.testing.assert_allclose(t_p[hit], t_x[hit], rtol=1e-5)
+
+
+def test_beyond_ceiling_falls_back_loudly(tiny_env):
+    """A scene past MAX_CHUNKED_TRIS renders on the composed XLA sweep
+    with a RuntimeWarning naming the cliff (the round-2 silent-fallback
+    gap)."""
+    import pytest as _pytest
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect, pallas_wavefront
+    from rsoderh_raytracing_tpu.render.integrator import camera_pytree
+    from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Scene,
+    )
+
+    n_tri = pallas_intersect.MAX_CHUNKED_TRIS + 64
+    rng = np.random.default_rng(3)
+    centers = rng.uniform(-4.0, 4.0, size=(n_tri, 3)).astype(np.float32)
+    vertices = np.concatenate(
+        [
+            centers,
+            centers + np.float32([0.1, 0, 0]),
+            centers + np.float32([0, 0.1, 0]),
+        ],
+        axis=0,
+    ).astype(np.float32)
+    normals = np.array([[0.0, 0.0, 1.0]], np.float32)
+    tris = np.stack(
+        [
+            np.arange(n_tri),
+            np.arange(n_tri) + n_tri,
+            np.arange(n_tri) + 2 * n_tri,
+            np.zeros(n_tri, np.int64),
+            np.zeros(n_tri, np.int64),
+            np.zeros(n_tri, np.int64),
+            np.zeros(n_tri, np.int64),
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    scene = Scene(
+        materials=[Material((0.5, 0.5, 0.5), 0.8, 0.0, (0, 0, 0))],
+        spheres=[],
+        planes=[],
+        meshes=PackedMeshes(
+            vertices=vertices, normals=normals, triangles=tris
+        ),
+        camera=Camera(pos=[0, 0, 8], yaw=0, pitch=0, fov_y=1.0),
+    )
+    ds = build_device_scene(scene)
+    assert not pallas_intersect._chunked_applicable(ds)
+    assert not pallas_wavefront.supported(ds)  # interpret mode is on
+    cam = camera_pytree(scene.camera)
+    with _pytest.warns(RuntimeWarning, match="chunked ceiling"):
+        img = np.asarray(
+            render_wavefront(ds, tiny_env, cam, np.uint32(0), (4, 4), 1, 2)
+        )
+    assert np.isfinite(img).all()

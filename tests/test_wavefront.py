@@ -204,3 +204,92 @@ def test_chunked_kernel_wavefront_matches_composed_interpret(
     close = np.isclose(kernel, composed, rtol=1e-4, atol=1e-5)
     assert close.mean() > 0.99, f"{(~close).sum()} values diverge"
     np.testing.assert_allclose(kernel.mean(), composed.mean(), rtol=1e-3)
+
+
+def test_lane_order_block_roundtrip():
+    """Block-major lane order is a bijection: to/from_lanes invert each
+    other and the emitted pixel coordinates name each lane's true pixel."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.render.wavefront import _lane_order
+
+    w, h = 256, 128
+    px, py, to_lanes, from_lanes = _lane_order(w, h)
+    img = np.arange(h * w, dtype=np.int32).reshape(h, w)
+    flat = np.asarray(to_lanes(img))
+    assert flat.shape == (h * w,)
+    np.testing.assert_array_equal(np.asarray(from_lanes(flat)), img)
+    # block-major really engaged (not row-major): first block is 64x128
+    assert flat[128] == img[1, 0]
+    # pixel coords are consistent with the mapping
+    np.testing.assert_array_equal(
+        np.asarray(from_lanes(np.asarray(px))),
+        np.broadcast_to(np.arange(w, dtype=np.int32), (h, w)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(from_lanes(np.asarray(py))),
+        np.broadcast_to(np.arange(h, dtype=np.int32)[:, None], (h, w)),
+    )
+    # vector tails (film (n,3)) roundtrip too
+    img3 = np.stack([img, img + 1, img + 2], axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(from_lanes(to_lanes(img3))), img3
+    )
+
+
+def test_wavefront_block_order_matches_scan(test_scene, tiny_env):
+    """A block-remapped resolution (W%128==0, H%64==0) produces the same
+    per-pixel image as the scan integrator — the lane->pixel remap
+    preserves every pixel's RNG stream and camera ray."""
+    ds = build_device_scene(test_scene)
+    cam = camera_pytree(test_scene.camera)
+    res = (128, 64)
+    wf = np.asarray(
+        render_wavefront(ds, tiny_env, cam, np.uint32(0), res, 1, 4)
+    )
+    seq = np.asarray(render_sample(ds, tiny_env, cam, np.uint32(0), res, 4))
+    np.testing.assert_allclose(wf, seq, rtol=2e-5, atol=2e-5)
+
+
+def test_spp_sync_matches_wavefront(test_scene, tiny_env):
+    """Bounce-synchronized rounds accumulate the same samples in the
+    same per-lane order as the regeneration wavefront: bitwise equal
+    image and counts on a given backend path."""
+    from rsoderh_raytracing_tpu.render.wavefront import render_spp_sync
+
+    ds = build_device_scene(test_scene)
+    cam = camera_pytree(test_scene.camera)
+    res = (24, 16)
+    rounds = 3
+    sync_img, sync_counts = render_spp_sync(
+        ds, tiny_env, cam, np.uint32(0), res, np.uint32(rounds), 6
+    )
+    wf = render_wavefront(ds, tiny_env, cam, np.uint32(0), res, rounds, 6)
+    np.testing.assert_array_equal(np.asarray(sync_img), np.asarray(wf))
+    np.testing.assert_array_equal(
+        np.asarray(sync_counts), np.full((16, 24), rounds, np.uint32)
+    )
+
+
+def test_spp_sync_resumes_from_counts(test_scene, tiny_env):
+    """base_counts offsets every pixel's stream: sync rounds 0..1 then
+    2..3 equal one 4-sample render."""
+    from rsoderh_raytracing_tpu.render.wavefront import render_spp_sync
+
+    ds = build_device_scene(test_scene)
+    cam = camera_pytree(test_scene.camera)
+    res = (16, 16)
+    a_img, a_counts = render_spp_sync(
+        ds, tiny_env, cam, np.uint32(0), res, np.uint32(2), 5
+    )
+    b_img, b_counts = render_spp_sync(
+        ds, tiny_env, cam, a_counts, res, np.uint32(2), 5
+    )
+    full = render_wavefront(ds, tiny_env, cam, np.uint32(0), res, 4, 5)
+    np.testing.assert_allclose(
+        np.asarray(a_img) + np.asarray(b_img),
+        np.asarray(full),
+        rtol=2e-5,
+        atol=2e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(b_counts), 4)
