@@ -46,6 +46,10 @@ class DeviceBVH:
 
 
 def device_bvh(bvh: FlatBVH) -> DeviceBVH:
+    """Upload a FlatBVH. Leaf primitive indices refer to the HOST
+    scene's primitive order — pair only with a DeviceScene built with
+    with_bvh=True (build_device_scene Morton-reorders chunked-path
+    scenes' triangles otherwise)."""
     return DeviceBVH(
         nodes_min=jnp.asarray(bvh.nodes_min),
         nodes_max=jnp.asarray(bvh.nodes_max),

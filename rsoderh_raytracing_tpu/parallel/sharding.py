@@ -237,10 +237,13 @@ def _freerun_rows(
     from rsoderh_raytracing_tpu.render import wavefront as wf
 
     width, height = resolution
-    n = rows * width
-    lane = jnp.arange(n, dtype=jnp.uint32)
-    pixel_x = (lane % width).astype(jnp.int32)
-    pixel_y = (lane // width).astype(jnp.int32) + tile_index * rows
+    # Same block-major lane order as the unsharded loop (render/
+    # wavefront._lane_order), applied within this device's row block so
+    # the chunk culls see rectangular pixel frusta; falls back to
+    # row-major when the block doesn't tile. Per-pixel streams are lane-
+    # order independent, so sharded == unsharded stays bitwise.
+    pixel_x, local_y, to_lanes, from_lanes = wf._lane_order(width, rows)
+    pixel_y = local_y + tile_index * rows
     pixel_index = (
         pixel_y.astype(jnp.uint32) * jnp.uint32(width)
         + pixel_x.astype(jnp.uint32)
@@ -254,13 +257,13 @@ def _freerun_rows(
         pixel_x,
         pixel_y,
         (width, height),
-        local_base,
+        to_lanes(local_base.reshape(rows, width)),
         lambda local: local * sample_stride + sample_stride_offset,
         jnp.uint32(0xFFFFFFFF),
         iterations,
         max_bounces,
     )
-    return img.reshape(rows, width, 3), counts.reshape(rows, width)
+    return from_lanes(img), from_lanes(counts)
 
 
 class ShardedRenderer:

@@ -154,8 +154,14 @@ def render_spp_sync(
     regeneration) before the next round starts. Per-(pixel, sample)
     paths and RNG streams are identical to render_wavefront /
     render_freerun, and per-lane film accumulation happens in the same
-    sample order, so the image is bit-equal to render_wavefront(spp=
-    rounds) on the same backend path.
+    sample order, so the image equals render_wavefront(spp=rounds) —
+    bitwise on the composed path (CPU tests assert it: both modes
+    compute every camera ray in _camera_rays). On the TPU kernel path
+    rounds >= 1 launch their camera rays from the XLA prologue while
+    the wavefront's regenerated samples compute them IN-KERNEL —
+    identical RNG draws, ulp-different float directions — so agreement
+    there is estimator-level (scripts/tpu_smoke.py measures it:
+    <0.5% non-flipped relative RMSE at 2 rounds).
 
     The trade vs free-run: lane utilization is LOWER (lanes idle while
     the round's deepest path finishes) but every lane in a tile is at
@@ -165,7 +171,9 @@ def render_spp_sync(
     scene-dependent — measured on TPU in PERFORMANCE.md.
 
     base_counts: per-pixel starting sample index, (H, W) uint32 or
-    scalar. Returns (sum image (H,W,3), counts (H,W) uint32[, stats]).
+    scalar. Returns (sum image (H,W,3), counts (H,W) uint32[, stats]);
+    counts are the samples completed THIS call (== rounds everywhere),
+    matching render_freerun's per-call semantics.
     """
     width, height = resolution
     n = width * height

@@ -179,7 +179,16 @@ def build_device_scene(
         TRI_CHUNK,
     )
 
-    if len(tris) > MAX_UNROLL_PRIMS:
+    import os as _os
+
+    if (
+        len(tris) > MAX_UNROLL_PRIMS
+        and not with_bvh
+        and _os.environ.get("RT_DISABLE_MORTON") != "1"
+    ):
+        # (Skipped when a BVH is attached: accel/bvh.py's leaf primitive
+        # indices refer to the host scene's triangle order — the BVH
+        # traversal validation path must keep slot i == host triangle i.)
         # Chunked-path scenes: Morton-order triangles by centroid so each
         # TRI_CHUNK window is spatially compact — tight chunk AABBs make
         # the kernels' per-chunk slab culls fire far more often (suzanne:

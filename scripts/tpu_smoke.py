@@ -177,7 +177,15 @@ def main() -> int:
         "fused_trace == composed", ok, normal_abs_max=normal_max
     )
 
-    # 4. spp-sync rounds == wavefront, bitwise, kernel path ----------------
+    # 4. spp-sync rounds ~= wavefront on the kernel path -------------------
+    # Deliberately NOT a bitwise check on hardware: sync launches every
+    # round's camera rays from the XLA prologue (_camera_rays: matmul +
+    # linalg.norm), while the wavefront's regenerated samples compute
+    # them IN-KERNEL (componentwise FMAs) — identical RNG draws but
+    # ulp-different float directions, so every sample >= 1 trajectory
+    # is ulp-perturbed. Same estimator; assert estimator-level
+    # agreement (first-sample pixels stay bitwise: CPU tests assert the
+    # composed path bitwise, where both modes share _camera_rays).
     for nm, dscene, camera in (
         ("house", ds, cam),
         ("suzanne", suz, suz_cam),
@@ -188,11 +196,24 @@ def main() -> int:
         img_wf = render_wavefront(
             dscene, env, camera, np.uint32(0), (size, size), 2
         )
-        same = np.array_equal(np.asarray(img_sync), np.asarray(img_wf))
+        a, b = np.asarray(img_sync), np.asarray(img_wf)
+        d = a - b
+        # whole-path fp flips (a perturbed trajectory takes another
+        # branch) are excluded the same way ACCEPTANCE.md's anchors do
+        flip = np.abs(d).max(-1) > 1e-2
+        keep = ~flip
+        rel = float(np.sqrt((d[keep] ** 2).mean())) / max(
+            float(np.sqrt((b[keep] ** 2).mean())), 1e-20
+        )
         counts_ok = bool((np.asarray(cnt_sync) == 2).all())
+        # Half of all samples here are cross-implementation (round 1 of
+        # 2), so whole-path flips run ~2% — same order as the 64^2@8spp
+        # suzanne anchor's 2.2% (docs/ACCEPTANCE.md); bound at 5%.
         failures += record(
-            f"spp_sync == wavefront ({nm}, 2 rounds)",
-            same and counts_ok, bitwise=same,
+            f"spp_sync ~= wavefront ({nm}, 2 rounds)",
+            rel < 5e-3 and flip.mean() < 0.05 and counts_ok,
+            nonflip_rel_rmse=round(rel, 7),
+            flipped_pixel_frac=round(float(flip.mean()), 6),
         )
 
     print("smoke:", "PASS" if failures == 0 else f"{failures} FAILURES")

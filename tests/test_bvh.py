@@ -128,8 +128,11 @@ def test_deep_bvh_many_primitives(assets_dir):
     validate_bvh(bvh, mins, maxs)
     assert bvh.depth < 64  # must fit the traversal stack
 
-    ds = build_device_scene(scene)
-    dbvh = device_bvh(bvh)
+    # with_bvh keeps device triangle slots in host order (the leaf
+    # primitive indices refer to it); without it, chunked-path scenes
+    # are Morton-reordered and an externally built BVH would mismatch.
+    ds = build_device_scene(scene, with_bvh=True)
+    dbvh = ds.bvh
     rng = np.random.default_rng(2)
     n = 128
     ro = np.tile(np.float32([0, 0, 3]), (n, 1))

@@ -298,3 +298,57 @@ def test_sharded_freerun_checkpoint_roundtrip(
     c.inner._last_state_hash = c.inner._state_hash()
     with pytest.raises(ValueError, match="sample axis"):
         c.load_checkpoint(path)
+
+
+def test_sharded_block_lane_order_bitwise(
+    monkeypatch, small_scene, uniform_env
+):
+    """At a block-eligible per-shard size (width 128, shard rows 64) the
+    sharded free-run engages the block-major lane order inside each
+    shard. Per-pixel streams are lane-order independent, so the
+    block-ordered run must equal the row-ordered run of the SAME
+    program shape bitwise (cross-PROGRAM comparisons — sharded vs
+    unsharded — carry compile-variant ulps from shape-dependent matmul
+    vectorization and are held to allclose, like the other tests
+    here)."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.parallel.sharding import (
+        make_mesh,
+        render_freerun_sharded,
+    )
+    from rsoderh_raytracing_tpu.render import wavefront as wf
+    from rsoderh_raytracing_tpu.render.wavefront import render_freerun
+
+    ds = build_device_scene(small_scene)
+    cam = camera_pytree(small_scene.camera)
+    res = (128, 128)  # tile=2 -> 64-row shards: block mode per shard
+    # the per-shard order really is block-major, not a fallback
+    _, _, to_lanes, _ = wf._lane_order(128, 64)
+    probe = np.arange(64 * 128).reshape(64, 128)
+    assert np.asarray(to_lanes(probe))[128] == probe[1, 0]
+
+    mesh = make_mesh(n_devices=2, tile=2)
+    base = np.zeros((128, 128), np.uint32)
+    img_s, cnt_s, _ = render_freerun_sharded(
+        ds, uniform_env, cam, base, mesh, res, np.uint32(4), 3
+    )
+    img_s, cnt_s = np.asarray(img_s), np.asarray(cnt_s)
+
+    monkeypatch.setenv("RT_DISABLE_BLOCK_REMAP", "1")
+    render_freerun_sharded.clear_cache()
+    img_r, cnt_r, _ = render_freerun_sharded(
+        ds, uniform_env, cam, base, mesh, res, np.uint32(4), 3
+    )
+    render_freerun_sharded.clear_cache()
+    monkeypatch.delenv("RT_DISABLE_BLOCK_REMAP")
+    np.testing.assert_array_equal(img_s, np.asarray(img_r))
+    np.testing.assert_array_equal(cnt_s, np.asarray(cnt_r))
+
+    img_u, cnt_u = render_freerun(
+        ds, uniform_env, cam, base, res, np.uint32(4), 3
+    )
+    np.testing.assert_array_equal(cnt_s, np.asarray(cnt_u))
+    np.testing.assert_allclose(
+        img_s, np.asarray(img_u), rtol=2e-5, atol=2e-5
+    )

@@ -292,4 +292,5 @@ def test_spp_sync_resumes_from_counts(test_scene, tiny_env):
         rtol=2e-5,
         atol=2e-5,
     )
-    np.testing.assert_array_equal(np.asarray(b_counts), 4)
+    # counts are per-call completions (render_freerun semantics)
+    np.testing.assert_array_equal(np.asarray(b_counts), 2)
