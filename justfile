@@ -18,9 +18,14 @@ view-workman scene="assets/scenes/default.toml":
 test:
     python -m pytest tests/ -x -q
 
-# Throughput benchmark (TPU).
-bench:
-    python bench.py
+# Throughput benchmark (TPU). BENCH_SCENE=house|default|suzanne|
+# suzanne_hi, BENCH_MODE=freerun|sync, BENCH_SIZE/ITERS/STEPS.
+bench scene="house":
+    BENCH_SCENE={{scene}} python bench.py
+
+# TPU-only parity checks + the per-round JSON artifact.
+smoke round="r03":
+    python scripts/tpu_smoke.py --json docs/tpu_smoke_{{round}}.json
 
 # Compile-check the driver entry points.
 graft-check:

@@ -546,7 +546,101 @@ def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
         )
 
 
-def _chunked_closest_kernel(n_sph, n_pln, use_live, *args):
+# -- per-tile chunk shortlists (scalar-prefetch grids) -------------------------
+#
+# For scenes with many chunks (suzanne_hi: 242) the dominant cost of a
+# culled chunk is no longer its sweep but its GRID STEP: ~1.5 us of
+# window DMA + slab eval + vector->scalar sync per (ray-tile, chunk),
+# ~186 ms/iteration at 2048^2 even if every chunk is skipped. A
+# data-dependent window index_map (PrefetchScalarGridSpec — probed
+# working on this Mosaic toolchain) dedupes that: an XLA pre-pass
+# computes, per ray tile, a CONSERVATIVE shortlist of reachable chunks
+# (interval arithmetic over the tile's live rays); the grid still has
+# n_chunks steps, but steps past the shortlist revisit the SAME window
+# (no DMA) and skip all work. A chunk the interval test prunes could
+# never pass the per-lane slab test, so results are BIT-IDENTICAL to
+# the non-shortlist kernels (tested); the per-lane culls remain as the
+# exact second level for shortlisted chunks.
+
+SHORTLIST_MIN_CHUNKS = 32  # below this the per-step overhead is small
+
+
+def _use_shortlist(n_chunks: int) -> bool:
+    if os.environ.get("RT_DISABLE_SHORTLIST") == "1":
+        return False
+    return n_chunks > SHORTLIST_MIN_CHUNKS
+
+
+def chunk_shortlist(bounds, ray_comps, mask, sub):
+    """(shortlist (T, C) i32, count (T,) i32): per ray-tile reachable
+    chunks, reachable-first, padded with the last reachable entry (or 0)
+    so padded grid steps revisit an already-fetched window.
+
+    Conservative per-axis reachability: lanes' origins/directions are
+    boxed per tile (mask-excluded lanes are neutral); an axis constrains
+    only when every live lane's direction component has one strict sign,
+    and then the chunk must not lie entirely behind the origin box. Any
+    lane whose slab test could pass keeps its chunk reachable."""
+    ox, oy, oz, dx, dy, dz = ray_comps
+    rows = ox.shape[0]
+    n_tiles = rows // sub
+
+    def per_tile(v, neutral):
+        t = v.reshape(n_tiles, sub * LANES)
+        if mask is not None:
+            m = mask.reshape(n_tiles, sub * LANES) != 0
+            t = jnp.where(m, t, neutral)
+        return t
+
+    def mins(v):
+        return jnp.min(per_tile(v, INF), axis=1)
+
+    def maxs(v):
+        return jnp.max(per_tile(v, -INF), axis=1)
+
+    o_lo = jnp.stack([mins(ox), mins(oy), mins(oz)], axis=1)  # (T, 3)
+    o_hi = jnp.stack([maxs(ox), maxs(oy), maxs(oz)], axis=1)
+    d_lo = jnp.stack([mins(dx), mins(dy), mins(dz)], axis=1)
+    d_hi = jnp.stack([maxs(dx), maxs(dy), maxs(dz)], axis=1)
+
+    b_lo = bounds[:, 0:3]  # (C, 3)
+    b_hi = bounds[:, 3:6]
+
+    pos = d_lo > 0.0  # (T, 3): every live lane strictly positive
+    neg = d_hi < 0.0
+    # axis reachable (T, C, 3)
+    reach_pos = b_hi[None, :, :] >= o_lo[:, None, :]
+    reach_neg = b_lo[None, :, :] <= o_hi[:, None, :]
+    # overlap with the origin box always reaches (t = 0)
+    axis_ok = jnp.where(
+        pos[:, None, :],
+        reach_pos,
+        jnp.where(neg[:, None, :], reach_neg, True),
+    )
+    # a tile with NO live lane reaches nothing (mins are +INF -> pos and
+    # neg are both True-ish garbage; the explicit any() guards it)
+    any_live = (
+        jnp.ones((n_tiles,), bool)
+        if mask is None
+        else jnp.any(mask.reshape(n_tiles, sub * LANES) != 0, axis=1)
+    )
+    reachable = jnp.all(axis_ok, axis=2) & any_live[:, None]  # (T, C)
+
+    n_chunks = bounds.shape[0]
+    order = jnp.argsort(~reachable, axis=1, stable=True).astype(jnp.int32)
+    count = jnp.sum(reachable, axis=1).astype(jnp.int32)
+    # pad with the last reachable entry so j >= count revisits it
+    last = jnp.take_along_axis(
+        order, jnp.maximum(count - 1, 0)[:, None], axis=1
+    )
+    j_idx = jnp.broadcast_to(
+        jnp.arange(n_chunks, dtype=jnp.int32)[None, :], order.shape
+    )
+    shortlist = jnp.where(j_idx < count[:, None], order, last)
+    return shortlist, count
+
+
+def _chunked_closest_kernel(n_sph, n_pln, use_live, use_sl, *args):
     """Grid (ray_blocks, tri_chunks): out blocks are revisited across the
     chunk axis (innermost), accumulating the closest hit; spheres+planes
     run once at chunk 0. Triangle constants arrive as SMEM windows of
@@ -555,7 +649,13 @@ def _chunked_closest_kernel(n_sph, n_pln, use_live, *args):
     bounded by the running best hit (entry beyond best_t cannot win) and,
     with use_live, restricted to lanes whose path is live (a dead lane's
     sweep result is never consumed — see render/wavefront.py). The
-    sweep only runs when ANY lane survives all three."""
+    sweep only runs when ANY lane survives all three. With use_sl the
+    step's chunk index comes from the prefetched per-tile shortlist
+    (chunk_shortlist) and steps past the shortlist count are no-ops on
+    an already-fetched window."""
+    if use_sl:
+        sl_ref, ct_ref = args[:2]
+        args = args[2:]
     bounds_ref = args[0]
     small_refs = args[1:11]
     tri_ref = args[11]
@@ -569,7 +669,9 @@ def _chunked_closest_kernel(n_sph, n_pln, use_live, *args):
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ti = pl.program_id(0)
     j = pl.program_id(1)
+    jc = sl_ref[ti, j] if use_sl else j
 
     @pl.when(j == 0)
     def _():
@@ -585,32 +687,42 @@ def _chunked_closest_kernel(n_sph, n_pln, use_live, *args):
 
     # Read AFTER the j==0 init (program order): t_ref holds the running
     # best (small prims + chunks < j), making the cull best-t-bounded.
-    slab = chunk_slab_mask(
-        bounds_ref, j, ox, oy, oz, dx, dy, dz, t_max=t_ref[:]
-    )
-    if use_live:
-        slab = slab & (live_ref[:] != 0)
-    chunk_live = jnp.any(slab)
+    def sweep_if_any_lane_survives():
+        slab = chunk_slab_mask(
+            bounds_ref, jc, ox, oy, oz, dx, dy, dz, t_max=t_ref[:]
+        )
+        if use_live:
+            slab = slab & (live_ref[:] != 0)
 
-    @pl.when(chunk_live)
-    def _():
-        best_t = t_ref[:]
-        best_type = type_ref[:]
-        best_idx = idx_ref[:]
-        base = j * TRI_CHUNK
+        @pl.when(jnp.any(slab))
+        def _():
+            best_t = t_ref[:]
+            best_type = type_ref[:]
+            best_idx = idx_ref[:]
+            base = jc * TRI_CHUNK
 
-        for i, t, hit in tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
-            better = hit & (t < best_t)
-            best_t = jnp.where(better, t, best_t)
-            best_type = jnp.where(better, 2, best_type)
-            best_idx = jnp.where(better, base + i, best_idx)
+            for i, t, hit in tri_chunk_hits(
+                tri_ref, ox, oy, oz, dx, dy, dz
+            ):
+                better = hit & (t < best_t)
+                best_t = jnp.where(better, t, best_t)
+                best_type = jnp.where(better, 2, best_type)
+                best_idx = jnp.where(better, base + i, best_idx)
 
-        t_ref[:] = best_t
-        type_ref[:] = best_type
-        idx_ref[:] = best_idx
+            t_ref[:] = best_t
+            type_ref[:] = best_type
+            idx_ref[:] = best_idx
+
+    if use_sl:
+        # padded steps (j >= count) skip even the slab eval
+        @pl.when(j < ct_ref[ti])
+        def _():
+            sweep_if_any_lane_survives()
+    else:
+        sweep_if_any_lane_survives()
 
 
-def _chunked_any_kernel(n_sph, n_pln, use_mask, *args):
+def _chunked_any_kernel(n_sph, n_pln, use_mask, use_sl, *args):
     """Occlusion-only variant of _chunked_closest_kernel: the same hit
     conditions and chunk-AABB cull, OR-accumulated into one i32 output —
     no winner tracking (shadow rays only need "anything blocks").
@@ -621,7 +733,11 @@ def _chunked_any_kernel(n_sph, n_pln, use_mask, *args):
     by that chunk, so skipping is exact for every consumed lane). Lanes
     already occluded by an earlier chunk are likewise dropped from the
     cull (OR-accumulation cannot change their result), so the sweep
-    early-exits once every consumed lane is blocked."""
+    early-exits once every consumed lane is blocked. use_sl: see
+    _chunked_closest_kernel."""
+    if use_sl:
+        sl_ref, ct_ref = args[:2]
+        args = args[2:]
     bounds_ref = args[0]
     small_refs = args[1:11]
     tri_ref = args[11]
@@ -634,7 +750,9 @@ def _chunked_any_kernel(n_sph, n_pln, use_mask, *args):
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ti = pl.program_id(0)
     j = pl.program_id(1)
+    jc = sl_ref[ti, j] if use_sl else j
 
     @pl.when(j == 0)
     def _():
@@ -646,18 +764,28 @@ def _chunked_any_kernel(n_sph, n_pln, use_mask, *args):
 
     # Read AFTER the j==0 init (program order): lanes already occluded
     # cannot change, so they stop forcing chunk sweeps.
-    slab = chunk_slab_mask(bounds_ref, j, ox, oy, oz, dx, dy, dz)
-    slab = slab & (occ_ref[:] == 0)
-    if use_mask:
-        slab = slab & (mask_ref[:] != 0)
-    chunk_live = jnp.any(slab)
+    def sweep_if_any_lane_survives():
+        slab = chunk_slab_mask(bounds_ref, jc, ox, oy, oz, dx, dy, dz)
+        slab = slab & (occ_ref[:] == 0)
+        if use_mask:
+            slab = slab & (mask_ref[:] != 0)
 
-    @pl.when(chunk_live)
-    def _():
-        occ = occ_ref[:] != 0
-        for hit in tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
-            occ = occ | hit
-        occ_ref[:] = occ.astype(jnp.int32)
+        @pl.when(jnp.any(slab))
+        def _():
+            occ = occ_ref[:] != 0
+            for hit in tri_chunk_occluded(
+                tri_ref, ox, oy, oz, dx, dy, dz
+            ):
+                occ = occ | hit
+            occ_ref[:] = occ.astype(jnp.int32)
+
+    if use_sl:
+        # padded steps (j >= count) skip even the slab eval
+        @pl.when(j < ct_ref[ti])
+        def _():
+            sweep_if_any_lane_survives()
+    else:
+        sweep_if_any_lane_survives()
 
 
 def chunk_bounds(scene):
@@ -729,6 +857,51 @@ def _chunked_tiles_call(
     tri_const = tri_const_table(scene)
 
     bounds = chunk_bounds(scene)
+    use_sl = _use_shortlist(n_chunks)
+
+    n_ray_ins = len(comps)
+    kernel = (
+        partial(_chunked_any_kernel, n_sph, n_pln, use_mask, use_sl)
+        if any_only
+        else partial(_chunked_closest_kernel, n_sph, n_pln, use_mask, use_sl)
+    )
+    if any_only:
+        out_dtypes = (jnp.int32,)
+    else:
+        out_dtypes = (jnp.float32, jnp.int32, jnp.int32)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dtypes
+    )
+
+    if use_sl:
+        mask_tile = comps[6] if use_mask else None
+        sl, ct = chunk_shortlist(bounds, comps[:6], mask_tile, sub)
+        smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
+        tri_spec = pl.BlockSpec(
+            (TRI_CHUNK, TRI_COLS),
+            lambda i, j, sl_, ct_: (sl_[i, j], 0),
+            memory_space=pltpu.SMEM,
+        )
+        ray_block = pl.BlockSpec(
+            (sub, LANES),
+            lambda i, j, sl_, ct_: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid_rays, n_chunks),
+            in_specs=(
+                [smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins
+            ),
+            out_specs=tuple(ray_block for _ in out_dtypes),
+        )
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(sl, ct, bounds, *small_refs, tri_const, *comps)
+        return res if isinstance(res, tuple) else (res,)
 
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec(
@@ -739,33 +912,15 @@ def _chunked_tiles_call(
     ray_block = pl.BlockSpec(
         (sub, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
     )
-    n_ray_ins = len(comps)
-
-    if any_only:
-        (occ,) = pl.pallas_call(
-            partial(_chunked_any_kernel, n_sph, n_pln, use_mask),
-            grid=(grid_rays, n_chunks),
-            in_specs=(
-                [smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins
-            ),
-            out_specs=(ray_block,),
-            out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.int32),),
-            interpret=_interpret(),
-        )(bounds, *small_refs, tri_const, *comps)
-        return (occ,)
-
-    return pl.pallas_call(
-        partial(_chunked_closest_kernel, n_sph, n_pln, use_mask),
+    res = pl.pallas_call(
+        kernel,
         grid=(grid_rays, n_chunks),
         in_specs=[smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins,
-        out_specs=(ray_block, ray_block, ray_block),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-        ),
+        out_specs=tuple(ray_block for _ in out_dtypes),
+        out_shape=out_shape,
         interpret=_interpret(),
     )(bounds, *small_refs, tri_const, *comps)
+    return res if isinstance(res, tuple) else (res,)
 
 
 def _chunked_call(scene, ro, rd, any_only: bool = False):

@@ -617,3 +617,75 @@ def test_beyond_ceiling_falls_back_loudly(tiny_env):
             render_wavefront(ds, tiny_env, cam, np.uint32(0), (4, 4), 1, 2)
         )
     assert np.isfinite(img).all()
+
+
+def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
+    """The per-tile chunk shortlist (scalar-prefetch grid, engaged above
+    SHORTLIST_MIN_CHUNKS) is a conservative first level over the
+    per-lane culls: results must be BIT-identical with it disabled,
+    including rays whose tiles have mixed signs, axis-parallel
+    directions, and origins inside the mesh bounds."""
+    import jax.numpy as jnp
+
+    from rsoderh_raytracing_tpu import load_scene
+    from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    scene = load_scene(
+        _os_path(assets_dir, "scenes", "suzanne_hi.toml")
+    )
+    ds = build_device_scene(scene)
+    n_chunks = ds.tri_valid.shape[0] // pint.TRI_CHUNK
+    assert pint._use_shortlist(n_chunks)
+
+    rng = np.random.default_rng(21)
+    n = 512
+    ro = rng.uniform(-2.0, 2.0, size=(n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd[:32] = 0.0
+    rd[0:16, 1] = 1.0
+    rd[16:32, 2] = -1.0
+    live = rng.integers(0, 2, size=n).astype(np.int32)
+
+    n_pad = -(-n // pint.BLOCK) * pint.BLOCK
+
+    def tile1(v, fill):
+        c = np.concatenate([v, np.full((n_pad - n,), fill, v.dtype)])
+        return jnp.asarray(c.reshape(n_pad // pint.LANES, pint.LANES))
+
+    ro_t = tuple(tile1(ro[:, k], np.float32(1.0)) for k in range(3))
+    rd_t = tuple(tile1(rd[:, k], np.float32(1.0)) for k in range(3))
+    live_t = tile1(live, np.int32(0))
+
+    with_sl = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t, live_mask=live_t)
+    ]
+    occ_sl = np.asarray(
+        pint.chunked_any_tiles(ds, ro_t, rd_t, hit_mask=live_t)
+    )
+
+    monkeypatch.setenv("RT_DISABLE_SHORTLIST", "1")
+    without = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t, live_mask=live_t)
+    ]
+    occ_no = np.asarray(
+        pint.chunked_any_tiles(ds, ro_t, rd_t, hit_mask=live_t)
+    )
+    m = tile1(live, np.int32(0))
+    m = np.asarray(m).reshape(-1) != 0
+    for a, b in zip(with_sl, without):
+        np.testing.assert_array_equal(
+            a.reshape(-1)[m], b.reshape(-1)[m]
+        )
+    np.testing.assert_array_equal(
+        occ_sl.reshape(-1)[m], occ_no.reshape(-1)[m]
+    )
+
+
+def _os_path(*parts):
+    import os as _os
+
+    return _os.path.join(*parts)
