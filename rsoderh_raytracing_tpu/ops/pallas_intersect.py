@@ -563,12 +563,20 @@ def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
 # exact second level for shortlisted chunks.
 
 SHORTLIST_MIN_CHUNKS = 32  # below this the per-step overhead is small
+# The (n_tiles, n_chunks) i32 shortlist is itself an SMEM resident;
+# past this budget (suzanne_hi at 2048^2 uses 495 KB of the v5e's
+# measured 1 MB) the kernels fall back to the plain grid rather than
+# blow the compile — the per-lane culls still apply there.
+SHORTLIST_SMEM_BUDGET = 512 * 1024
 
 
-def _use_shortlist(n_chunks: int) -> bool:
+def _use_shortlist(n_chunks: int, n_tiles: int) -> bool:
     if os.environ.get("RT_DISABLE_SHORTLIST") == "1":
         return False
-    return n_chunks > SHORTLIST_MIN_CHUNKS
+    return (
+        n_chunks > SHORTLIST_MIN_CHUNKS
+        and n_tiles * n_chunks * 4 <= SHORTLIST_SMEM_BUDGET
+    )
 
 
 def chunk_shortlist(bounds, ray_comps, mask, sub):
@@ -857,7 +865,7 @@ def _chunked_tiles_call(
     tri_const = tri_const_table(scene)
 
     bounds = chunk_bounds(scene)
-    use_sl = _use_shortlist(n_chunks)
+    use_sl = _use_shortlist(n_chunks, grid_rays)
 
     n_ray_ins = len(comps)
     kernel = (

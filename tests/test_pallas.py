@@ -636,7 +636,6 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
     )
     ds = build_device_scene(scene)
     n_chunks = ds.tri_valid.shape[0] // pint.TRI_CHUNK
-    assert pint._use_shortlist(n_chunks)
 
     rng = np.random.default_rng(21)
     n = 512
@@ -657,6 +656,13 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
     ro_t = tuple(tile1(ro[:, k], np.float32(1.0)) for k in range(3))
     rd_t = tuple(tile1(rd[:, k], np.float32(1.0)) for k in range(3))
     live_t = tile1(live, np.int32(0))
+
+    grid_rays = (n_pad // pint.LANES) // pint.SUBLANES
+    assert pint._use_shortlist(n_chunks, grid_rays)
+    # The shortlist itself lives in SMEM; past the budget the call must
+    # fall back to the plain grid rather than blow the 1 MB compile.
+    too_many_tiles = pint.SHORTLIST_SMEM_BUDGET // (4 * n_chunks) + 1
+    assert not pint._use_shortlist(n_chunks, too_many_tiles)
 
     with_sl = [
         np.asarray(x)
