@@ -360,8 +360,13 @@ def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz, t_max=None):
     hit) additionally rejects chunks whose slab ENTRY lies beyond it —
     exact, since any triangle inside the chunk has t >= entry > best_t
     and loses the strict `t < best_t` comparison anyway (ties keep the
-    incumbent). Rounding safety: chunk_bounds inflates the AABBs by
-    ~1e-5 relative, orders of magnitude above slab-arithmetic ulps."""
+    incumbent). Rounding safety must scale with ray DISTANCE, not chunk
+    extent: both the slab entry and the triangle t it bounds carry
+    fp error proportional to the hit distance (chunk_bounds' ~1e-5
+    spatial inflation covers nearby origins but is dwarfed by t-ulps
+    once |origin| >> chunk extent), so the best-t comparison takes a
+    1e-4 relative + 1e-4 absolute slack — far above accumulated
+    arithmetic ulps, far below any culling-relevant margin."""
 
     def axis_slab(o, d, lo, hi):
         inv = 1.0 / d  # +-inf on axis-parallel rays
@@ -381,7 +386,7 @@ def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz, t_max=None):
     t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
     hit = t0 <= t1
     if t_max is not None:
-        hit = hit & (t0 <= t_max)
+        hit = hit & (t0 <= t_max * (1.0 + 1e-4) + 1e-4)
     return hit
 
 
@@ -881,54 +886,49 @@ def _chunked_tiles_call(
         jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dtypes
     )
 
+    # The shortlist and plain grids share all spec plumbing; they differ
+    # only in the index-map arity (prefetch operands are appended to the
+    # map signature) and the two prefetched shortlist arguments.
     if use_sl:
         mask_tile = comps[6] if use_mask else None
         sl, ct = chunk_shortlist(bounds, comps[:6], mask_tile, sub)
-        smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
-        tri_spec = pl.BlockSpec(
-            (TRI_CHUNK, TRI_COLS),
-            lambda i, j, sl_, ct_: (sl_[i, j], 0),
-            memory_space=pltpu.SMEM,
-        )
-        ray_block = pl.BlockSpec(
-            (sub, LANES),
-            lambda i, j, sl_, ct_: (i, 0),
-            memory_space=pltpu.VMEM,
-        )
+        tri_index = lambda i, j, sl_, ct_: (sl_[i, j], 0)  # noqa: E731
+        ray_index = lambda i, j, sl_, ct_: (i, 0)  # noqa: E731
+    else:
+        tri_index = lambda i, j: (j, 0)  # noqa: E731
+        ray_index = lambda i, j: (i, 0)  # noqa: E731
+    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tri_spec = pl.BlockSpec(
+        (TRI_CHUNK, TRI_COLS), tri_index, memory_space=pltpu.SMEM
+    )
+    ray_block = pl.BlockSpec(
+        (sub, LANES), ray_index, memory_space=pltpu.VMEM
+    )
+    in_specs = [smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins
+    out_specs = tuple(ray_block for _ in out_dtypes)
+    operands = (bounds, *small_refs, tri_const, *comps)
+
+    if use_sl:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(grid_rays, n_chunks),
-            in_specs=(
-                [smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins
-            ),
-            out_specs=tuple(ray_block for _ in out_dtypes),
+            in_specs=in_specs,
+            out_specs=out_specs,
         )
-        res = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=_interpret(),
-        )(sl, ct, bounds, *small_refs, tri_const, *comps)
-        return res if isinstance(res, tuple) else (res,)
-
-    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
-    tri_spec = pl.BlockSpec(
-        (TRI_CHUNK, TRI_COLS),
-        lambda i, j: (j, 0),
-        memory_space=pltpu.SMEM,
-    )
-    ray_block = pl.BlockSpec(
-        (sub, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-    )
-    res = pl.pallas_call(
+        )(sl, ct, *operands)
+    return pl.pallas_call(
         kernel,
         grid=(grid_rays, n_chunks),
-        in_specs=[smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins,
-        out_specs=tuple(ray_block for _ in out_dtypes),
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(bounds, *small_refs, tri_const, *comps)
-    return res if isinstance(res, tuple) else (res,)
+    )(*operands)
 
 
 def _chunked_call(scene, ro, rd, any_only: bool = False):

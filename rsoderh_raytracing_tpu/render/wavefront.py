@@ -185,6 +185,11 @@ def render_spp_sync(
     base = jnp.asarray(base_counts, jnp.uint32)
     if base.ndim >= 2:
         base = to_lanes(base)
+    elif base.size == n:
+        # flat (H*W,) is row-major PIXEL order — remap it like (H, W)
+        # (under block lane order, passing it through unshuffled would
+        # resume each pixel from a different pixel's sample count)
+        base = to_lanes(base.reshape(height, width))
     else:
         base = jnp.broadcast_to(base.reshape(-1), (n,))
 
@@ -251,9 +256,10 @@ BLOCK_W = 128  # = pallas_intersect.LANES
 
 
 def _lane_order(width, height):
-    """(pixel_x, pixel_y, from_lanes) for the lane->pixel mapping:
-    block-major when the resolution tiles exactly, else row-major.
-    from_lanes maps flat (n, ...) lane arrays back to (H, W, ...)."""
+    """(pixel_x, pixel_y, to_lanes, from_lanes) for the lane->pixel
+    mapping: block-major when the resolution tiles exactly, else
+    row-major. to_lanes maps (H, W, ...) pixel arrays to flat (n, ...)
+    lane arrays; from_lanes is its inverse."""
     import os
 
     n = width * height
@@ -317,6 +323,9 @@ def _wavefront_loop(
     base_sample = jnp.asarray(base_sample, jnp.uint32)
     if base_sample.ndim >= 2:
         base_sample = to_lanes(base_sample)
+    elif base_sample.size == n:
+        # flat (H*W,) is row-major PIXEL order — remap it like (H, W)
+        base_sample = to_lanes(base_sample.reshape(height, width))
     else:
         base_sample = jnp.broadcast_to(base_sample.reshape(-1), (n,))
     img, counts, stats = wavefront_loop_custom(
@@ -376,22 +385,35 @@ def wavefront_loop_custom(
     if (
         pallas_intersect.pallas_enabled()
         and scene.bvh is None
-        and pallas_intersect._total_prims(scene)
-        > pallas_intersect.MAX_UNROLL_PRIMS
-        and not pallas_intersect._chunked_applicable(scene)
+        and not pallas_intersect.sweep_supported(scene)
     ):
         # The cliff is LOUD: scenes past every kernel path pay the
         # composed XLA dense sweep, measured ~10x slower in context
         # (PERFORMANCE.md "composed-XLA fallback"). Deliberate opt-outs
-        # (RT_DISABLE_WFKERNELS / RT_DISABLE_PALLAS) don't reach here.
+        # (RT_DISABLE_WFKERNELS / RT_DISABLE_PALLAS) don't reach here,
+        # and neither do scenes the opt-in fori_loop sweep still covers.
         import warnings
 
         n_tri = scene.tri_valid.shape[0]
+        n_small = (
+            scene.sph_radius.shape[0] + scene.pln_valid.shape[0]
+        )
+        if n_tri > pallas_intersect.MAX_CHUNKED_TRIS:
+            reason = (
+                f"{n_tri} padded triangle lanes exceed the chunked "
+                f"ceiling ({pallas_intersect.MAX_CHUNKED_TRIS})"
+            )
+        else:
+            reason = (
+                f"{n_small} padded sphere/plane lanes leave no room "
+                f"for a {pallas_intersect.TRI_CHUNK}-triangle chunk in "
+                f"the {pallas_intersect.MAX_UNROLL_PRIMS}-lane unroll "
+                "budget"
+            )
         warnings.warn(
-            f"scene ({n_tri} padded triangle lanes) exceeds every Pallas "
-            f"kernel path (chunked ceiling {pallas_intersect.MAX_CHUNKED_TRIS}"
-            " triangles); rendering on the composed XLA sweep, which is"
-            " ~10x slower at scale",
+            f"scene exceeds every Pallas kernel path ({reason}); "
+            "rendering on the composed XLA sweep, which is ~10x slower "
+            "at scale",
             RuntimeWarning,
             stacklevel=2,
         )

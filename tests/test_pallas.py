@@ -471,6 +471,16 @@ def test_chunked_culls_preserve_results(assets_dir):
     # rays from below aimed up through the ground plane (near first hit)
     ro[48:96] = np.array([0.0, -3.0, 0.0], np.float32)
     rd[48:96] = np.array([0.0, 1.0, 0.0], np.float32)
+    # DISTANT origins (hit t ~ 1e3): t-proportional fp error dwarfs the
+    # chunk AABBs' spatial inflation there, so the best-t cull must take
+    # distance-scaled slack (chunk_slab_mask) to stay exact.
+    far = rng.uniform(500.0, 2000.0, size=(48, 1)).astype(np.float32)
+    fdir = rng.normal(size=(48, 3)).astype(np.float32)
+    fdir /= np.linalg.norm(fdir, axis=-1, keepdims=True)
+    aim = rng.uniform(-1.0, 1.0, size=(48, 3)).astype(np.float32)
+    ro[96:144] = fdir * far
+    rd[96:144] = aim - ro[96:144]
+    rd[96:144] /= np.linalg.norm(rd[96:144], axis=-1, keepdims=True)
     live = rng.integers(0, 2, size=n).astype(np.int32)
 
     n_pad = -(-n // pint.BLOCK) * pint.BLOCK

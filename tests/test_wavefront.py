@@ -251,6 +251,24 @@ def test_wavefront_block_order_matches_scan(test_scene, tiny_env):
     np.testing.assert_allclose(wf, seq, rtol=2e-5, atol=2e-5)
 
 
+def test_wavefront_flat_base_sample_is_pixel_order(test_scene, tiny_env):
+    """A flat (H*W,) base_sample means row-major PIXEL order — at a
+    block-remapped resolution it must be reshuffled into lane order like
+    an (H, W) base, not consumed as-is (which would resume each pixel
+    from a different pixel's sample count)."""
+    ds = build_device_scene(test_scene)
+    cam = camera_pytree(test_scene.camera)
+    res = (128, 64)
+    base2d = (np.arange(64 * 128, dtype=np.uint32) % 7).reshape(64, 128)
+    a = np.asarray(
+        render_wavefront(ds, tiny_env, cam, base2d, res, 1, 4)
+    )
+    b = np.asarray(
+        render_wavefront(ds, tiny_env, cam, base2d.reshape(-1), res, 1, 4)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
 def test_spp_sync_matches_wavefront(test_scene, tiny_env):
     """Bounce-synchronized rounds accumulate the same samples in the
     same per-lane order as the regeneration wavefront: bitwise equal
