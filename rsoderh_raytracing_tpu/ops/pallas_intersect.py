@@ -593,17 +593,29 @@ def chunk_shortlist(bounds, ray_comps, mask, sub):
     boxed per tile (mask-excluded lanes are neutral); an axis constrains
     only when every live lane's direction component has one strict sign,
     and then the chunk must not lie entirely behind the origin box. Any
-    lane whose slab test could pass keeps its chunk reachable."""
+    lane whose slab test could pass keeps its chunk reachable.
+
+    Non-finite lanes (NaN/inf components) cannot be boxed — NaN would
+    poison the tile reductions and silently empty the shortlist for the
+    tile's VALID lanes. They are excluded from the box, and any tile
+    holding a non-finite live lane keeps ALL chunks: the shortlist only
+    ever needs to be a superset of what the kernels sweep (the in-kernel
+    per-lane slab culls re-check every listed chunk), so widening to
+    everything preserves bit-identity with the non-shortlist grid."""
     ox, oy, oz, dx, dy, dz = ray_comps
     rows = ox.shape[0]
     n_tiles = rows // sub
+    lane_finite = (
+        jnp.isfinite(ox) & jnp.isfinite(oy) & jnp.isfinite(oz)
+        & jnp.isfinite(dx) & jnp.isfinite(dy) & jnp.isfinite(dz)
+    ).reshape(n_tiles, sub * LANES)
 
     def per_tile(v, neutral):
         t = v.reshape(n_tiles, sub * LANES)
+        keep = lane_finite
         if mask is not None:
-            m = mask.reshape(n_tiles, sub * LANES) != 0
-            t = jnp.where(m, t, neutral)
-        return t
+            keep = keep & (mask.reshape(n_tiles, sub * LANES) != 0)
+        return jnp.where(keep, t, neutral)
 
     def mins(v):
         return jnp.min(per_tile(v, INF), axis=1)
@@ -632,12 +644,17 @@ def chunk_shortlist(bounds, ray_comps, mask, sub):
     )
     # a tile with NO live lane reaches nothing (mins are +INF -> pos and
     # neg are both True-ish garbage; the explicit any() guards it)
-    any_live = (
-        jnp.ones((n_tiles,), bool)
+    live = (
+        jnp.ones((n_tiles, sub * LANES), bool)
         if mask is None
-        else jnp.any(mask.reshape(n_tiles, sub * LANES) != 0, axis=1)
+        else mask.reshape(n_tiles, sub * LANES) != 0
     )
-    reachable = jnp.all(axis_ok, axis=2) & any_live[:, None]  # (T, C)
+    any_live = jnp.any(live, axis=1)
+    any_nonfinite = jnp.any(live & ~lane_finite, axis=1)
+    reachable = (
+        (jnp.all(axis_ok, axis=2) | any_nonfinite[:, None])
+        & any_live[:, None]
+    )  # (T, C)
 
     n_chunks = bounds.shape[0]
     order = jnp.argsort(~reachable, axis=1, stable=True).astype(jnp.int32)

@@ -642,7 +642,7 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
     from rsoderh_raytracing_tpu.scene.device import build_device_scene
 
     scene = load_scene(
-        _os_path(assets_dir, "scenes", "suzanne_hi.toml")
+        os.path.join(assets_dir, "scenes", "suzanne_hi.toml")
     )
     ds = build_device_scene(scene)
     n_chunks = ds.tri_valid.shape[0] // pint.TRI_CHUNK
@@ -655,7 +655,14 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
     rd[:32] = 0.0
     rd[0:16, 1] = 1.0
     rd[16:32, 2] = -1.0
+    # a non-finite LIVE lane must not poison its tile's shortlist (the
+    # pre-pass boxes lanes with min/max; NaN would empty the box and
+    # silently drop every other lane's triangle hits)
+    ro[40] = np.nan
+    rd[41, 0] = np.nan
     live = rng.integers(0, 2, size=n).astype(np.int32)
+    live[40] = 1
+    live[41] = 1
 
     n_pad = -(-n // pint.BLOCK) * pint.BLOCK
 
@@ -700,8 +707,20 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
         occ_sl.reshape(-1)[m], occ_no.reshape(-1)[m]
     )
 
-
-def _os_path(*parts):
-    import os as _os
-
-    return _os.path.join(*parts)
+    # mask-less route (closest_sweep/any_sweep -> _chunked_call): padded
+    # lanes join the shortlist box; every lane must stay bit-identical
+    monkeypatch.delenv("RT_DISABLE_SHORTLIST")
+    no_mask_sl = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t)
+    ]
+    occ_nm_sl = np.asarray(pint.chunked_any_tiles(ds, ro_t, rd_t))
+    monkeypatch.setenv("RT_DISABLE_SHORTLIST", "1")
+    no_mask = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t)
+    ]
+    occ_nm = np.asarray(pint.chunked_any_tiles(ds, ro_t, rd_t))
+    for a, b in zip(no_mask_sl, no_mask):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(occ_nm_sl, occ_nm)
