@@ -71,6 +71,7 @@ def main() -> int:
         "house": "1024",
         "default": "1024",
         "suzanne": "128",
+        "spheres": "128",  # 1000 spheres = 16 sphere chunks (suzanne-class)
         "suzanne_hi": "16",
     }.get(scene_name, "64")
     if mode == "sync":

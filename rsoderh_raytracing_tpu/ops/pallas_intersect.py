@@ -50,6 +50,12 @@ MAX_LOOP_PRIMS = 2048  # fori_loop + dynamic SMEM reads (suzanne: 976)
 # beyond this fall (loudly — see render/wavefront.py) to the composed
 # XLA sweep.
 MAX_CHUNKED_TRIS = 65536
+# Spheres stream as chunk windows too (same grid, same AABB culls) when
+# the sphere+plane unroll no longer fits the per-step budget — the
+# reference handles any sphere count through its BVH (src/bvh.rs:13-28);
+# here many-sphere scenes ride the same streamed-window machinery as
+# many-triangle ones. Same SMEM argument as MAX_CHUNKED_TRIS.
+MAX_CHUNKED_SPHERES = 65536
 
 INF = 3.0e38
 
@@ -92,14 +98,33 @@ def _loop_enabled() -> bool:
 
 
 def _chunked_applicable(scene) -> bool:
-    """Big-triangle scenes use the chunked grid when the non-triangle
-    lanes fit the unroll budget and triangle lanes divide into chunks."""
+    """Big scenes use the chunked grid when their triangle lanes divide
+    into chunks and the unrolled-smalls step fits the budget — either
+    directly (spheres+planes unroll at chunk 0) or by streaming the
+    sphere lanes as chunk windows (_chunk_spheres)."""
     small = scene.sph_radius.shape[0] + scene.pln_valid.shape[0]
     n_tri = scene.tri_valid.shape[0]
+    if n_tri % TRI_CHUNK != 0 or n_tri > MAX_CHUNKED_TRIS:
+        return False
+    if small + TRI_CHUNK <= MAX_UNROLL_PRIMS:
+        return n_tri > 0  # at least one window chunk for the grid
+    return _chunk_spheres(scene)
+
+
+def _chunk_spheres(scene) -> bool:
+    """Sphere lanes stream as chunk windows (like triangles) when the
+    sphere+plane unroll no longer fits the per-step budget. Planes stay
+    unrolled at chunk 0 (authored scenes hold a handful of planes; a
+    scene with >128 plane lanes still falls to the composed sweep,
+    loudly)."""
+    n_sph = scene.sph_radius.shape[0]
+    n_pln = scene.pln_valid.shape[0]
     return (
-        small + TRI_CHUNK <= MAX_UNROLL_PRIMS
-        and n_tri % TRI_CHUNK == 0
-        and n_tri <= MAX_CHUNKED_TRIS
+        n_sph + n_pln + TRI_CHUNK > MAX_UNROLL_PRIMS
+        and n_sph > 0
+        and n_sph % TRI_CHUNK == 0
+        and n_sph <= MAX_CHUNKED_SPHERES
+        and n_pln + TRI_CHUNK <= MAX_UNROLL_PRIMS
     )
 
 
@@ -430,6 +455,73 @@ def tri_const_table(scene):
     )
 
 
+# Sphere rows reuse the TRI_COLS window width (one streamed window table
+# serves both primitive kinds; a chunk's kind is static from its index):
+SC_POS = 0  # ..2
+SC_C2 = 3
+SC_VALID = 4
+
+
+def sphere_const_table(scene):
+    """(n_sph, TRI_COLS) f32 sphere window rows (layout above), streamed
+    by the chunked kernels when _chunk_spheres applies. Built under jit;
+    loop-invariant, hoisted like tri_const_table."""
+    n = scene.sph_radius.shape[0]
+    return jnp.concatenate(
+        [
+            scene.sph_pos,
+            scene.sph_c2[:, None],
+            scene.sph_valid.astype(jnp.float32)[:, None],
+            jnp.zeros((n, TRI_COLS - 5), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def sphere_chunk_bounds(scene):
+    """(n_sph_chunks, 6) per-chunk AABBs over center +- radius, inflated
+    like chunk_bounds. Padded (invalid) spheres sit at the origin with
+    radius 0 — their point only ever ENLARGES bounds (conservative)."""
+    n_chunks = scene.sph_radius.shape[0] // TRI_CHUNK
+    r = scene.sph_radius[:, None]
+    lo = (scene.sph_pos - r).reshape(n_chunks, TRI_CHUNK, 3).min(axis=1)
+    hi = (scene.sph_pos + r).reshape(n_chunks, TRI_CHUNK, 3).max(axis=1)
+    eps = (hi - lo) * 1.0e-5 + 1.0e-5
+    return jnp.concatenate([lo - eps, hi + eps], axis=-1)
+
+
+def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz):
+    """Yield (i, t, hit) for each of a window's TRI_CHUNK spheres — the
+    exact _sweep_body sphere test on the consolidated SMEM window ref
+    (same robust q-form, same epsilons)."""
+    a_q = dx * dx + dy * dy + dz * dz
+    d_dot_o = dx * ox + dy * oy + dz * oz
+    o_dot_o = ox * ox + oy * oy + oz * oz
+    for i in range(TRI_CHUNK):
+        cx = win_ref[i, SC_POS]
+        cy = win_ref[i, SC_POS + 1]
+        cz = win_ref[i, SC_POS + 2]
+        b = 2.0 * (d_dot_o - (dx * cx + dy * cy + dz * cz))
+        c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + win_ref[i, SC_C2]
+        disc = b * b - 4.0 * a_q * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        q = jnp.where(b > 0, -0.5 * (b + sq), -0.5 * (b - sq))
+        t0 = q / a_q
+        t1 = c / jnp.where(q == 0.0, 1.0, q)
+        t = jnp.where(
+            t0 < geo.SPHERE_EPS,
+            t1,
+            jnp.where(t1 < geo.SPHERE_EPS, t0, jnp.minimum(t0, t1)),
+        )
+        t = jnp.where(disc == 0.0, -0.5 * b / a_q, t)
+        hit = (
+            (disc >= 0.0)
+            & (t >= geo.SPHERE_EPS)
+            & (win_ref[i, SC_VALID] > 0)
+        )
+        yield i, t, hit
+
+
 def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
     """Yield (i, t, hit) for each of a chunk window's TRI_CHUNK triangles
     — the same expanded-triple-product test as _sweep_body, on the
@@ -670,11 +762,16 @@ def chunk_shortlist(bounds, ray_comps, mask, sub):
     return shortlist, count
 
 
-def _chunked_closest_kernel(n_sph, n_pln, use_live, use_sl, *args):
-    """Grid (ray_blocks, tri_chunks): out blocks are revisited across the
-    chunk axis (innermost), accumulating the closest hit; spheres+planes
-    run once at chunk 0. Triangle constants arrive as SMEM windows of
-    TRI_CHUNK rows — a few KB regardless of scene size. Each chunk is
+def _chunked_closest_kernel(
+    n_sph, n_pln, n_tri_chunks, n_sph_chunks, use_live, use_sl, *args
+):
+    """Grid (ray_blocks, chunks): out blocks are revisited across the
+    chunk axis (innermost), accumulating the closest hit; the unrolled
+    smalls run once at chunk 0. Primitive constants arrive as SMEM
+    windows of TRI_CHUNK rows — a few KB regardless of scene size.
+    Chunks [0, n_tri_chunks) are triangle windows; with n_sph_chunks > 0
+    (_chunk_spheres scenes) the remaining chunks are sphere windows and
+    n_sph is 0 (spheres left the chunk-0 unroll). Each chunk is
     guarded by a CONSERVATIVE per-lane cull: the chunk-AABB slab test,
     bounded by the running best hit (entry beyond best_t cannot win) and,
     with use_live, restricted to lanes whose path is live (a dead lane's
@@ -682,7 +779,15 @@ def _chunked_closest_kernel(n_sph, n_pln, use_live, use_sl, *args):
     sweep only runs when ANY lane survives all three. With use_sl the
     step's chunk index comes from the prefetched per-tile shortlist
     (chunk_shortlist) and steps past the shortlist count are no-ops on
-    an already-fetched window."""
+    an already-fetched window.
+
+    Winner order parity: the composed sweep considers spheres, then
+    planes, then triangles, keeping the FIRST winner on exact-t ties
+    (strict <). Sphere windows sweep after the chunk-0 planes and the
+    triangle windows, so their update OVERRIDES equal-t non-sphere
+    incumbents ((t == best_t) & (best_type != 0)) — restoring the
+    composed priority exactly; sphere-vs-sphere ties keep the strict <
+    (windows ascend in sphere index, matching the composed scan)."""
     if use_sl:
         sl_ref, ct_ref = args[:2]
         args = args[2:]
@@ -717,6 +822,41 @@ def _chunked_closest_kernel(n_sph, n_pln, use_live, use_sl, *args):
 
     # Read AFTER the j==0 init (program order): t_ref holds the running
     # best (small prims + chunks < j), making the cull best-t-bounded.
+    def tri_window_sweep():
+        best_t = t_ref[:]
+        best_type = type_ref[:]
+        best_idx = idx_ref[:]
+        base = jc * TRI_CHUNK
+
+        for i, t, hit in tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
+            better = hit & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_type = jnp.where(better, 2, best_type)
+            best_idx = jnp.where(better, base + i, best_idx)
+
+        t_ref[:] = best_t
+        type_ref[:] = best_type
+        idx_ref[:] = best_idx
+
+    def sph_window_sweep():
+        best_t = t_ref[:]
+        best_type = type_ref[:]
+        best_idx = idx_ref[:]
+        base = (jc - n_tri_chunks) * TRI_CHUNK
+
+        for i, t, hit in sph_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
+            # equal-t override of non-sphere incumbents: see docstring
+            better = hit & (
+                (t < best_t) | ((t == best_t) & (best_type != 0))
+            )
+            best_t = jnp.where(better, t, best_t)
+            best_type = jnp.where(better, 0, best_type)
+            best_idx = jnp.where(better, base + i, best_idx)
+
+        t_ref[:] = best_t
+        type_ref[:] = best_type
+        idx_ref[:] = best_idx
+
     def sweep_if_any_lane_survives():
         slab = chunk_slab_mask(
             bounds_ref, jc, ox, oy, oz, dx, dy, dz, t_max=t_ref[:]
@@ -726,22 +866,13 @@ def _chunked_closest_kernel(n_sph, n_pln, use_live, use_sl, *args):
 
         @pl.when(jnp.any(slab))
         def _():
-            best_t = t_ref[:]
-            best_type = type_ref[:]
-            best_idx = idx_ref[:]
-            base = jc * TRI_CHUNK
-
-            for i, t, hit in tri_chunk_hits(
-                tri_ref, ox, oy, oz, dx, dy, dz
-            ):
-                better = hit & (t < best_t)
-                best_t = jnp.where(better, t, best_t)
-                best_type = jnp.where(better, 2, best_type)
-                best_idx = jnp.where(better, base + i, best_idx)
-
-            t_ref[:] = best_t
-            type_ref[:] = best_type
-            idx_ref[:] = best_idx
+            if n_sph_chunks == 0:
+                tri_window_sweep()
+            elif n_tri_chunks == 0:
+                sph_window_sweep()
+            else:
+                pl.when(jc < n_tri_chunks)(tri_window_sweep)
+                pl.when(jc >= n_tri_chunks)(sph_window_sweep)
 
     if use_sl:
         # padded steps (j >= count) skip even the slab eval
@@ -752,10 +883,16 @@ def _chunked_closest_kernel(n_sph, n_pln, use_live, use_sl, *args):
         sweep_if_any_lane_survives()
 
 
-def _chunked_any_kernel(n_sph, n_pln, use_mask, use_sl, *args):
+def _chunked_any_kernel(
+    n_sph, n_pln, n_tri_chunks, n_sph_chunks, use_mask, use_sl, *args
+):
     """Occlusion-only variant of _chunked_closest_kernel: the same hit
     conditions and chunk-AABB cull, OR-accumulated into one i32 output —
-    no winner tracking (shadow rays only need "anything blocks").
+    no winner tracking (shadow rays only need "anything blocks"), so
+    sphere windows (n_sph_chunks > 0) need no tie handling and keep
+    their division-carrying t test (the sphere predicate is cheap and
+    stays bitwise the composed form; only the triangle windows use the
+    division-free reformulation).
     With use_mask, an extra i32 lane-mask input tightens the cull: chunks
     only sweep when a MASKED lane's ray touches their bounds (the
     wavefront passes did_hit — miss lanes' occlusion is never consumed,
@@ -794,6 +931,18 @@ def _chunked_any_kernel(n_sph, n_pln, use_mask, use_sl, *args):
 
     # Read AFTER the j==0 init (program order): lanes already occluded
     # cannot change, so they stop forcing chunk sweeps.
+    def tri_window_sweep():
+        occ = occ_ref[:] != 0
+        for hit in tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
+            occ = occ | hit
+        occ_ref[:] = occ.astype(jnp.int32)
+
+    def sph_window_sweep():
+        occ = occ_ref[:] != 0
+        for _, _, hit in sph_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
+            occ = occ | hit
+        occ_ref[:] = occ.astype(jnp.int32)
+
     def sweep_if_any_lane_survives():
         slab = chunk_slab_mask(bounds_ref, jc, ox, oy, oz, dx, dy, dz)
         slab = slab & (occ_ref[:] == 0)
@@ -802,12 +951,13 @@ def _chunked_any_kernel(n_sph, n_pln, use_mask, use_sl, *args):
 
         @pl.when(jnp.any(slab))
         def _():
-            occ = occ_ref[:] != 0
-            for hit in tri_chunk_occluded(
-                tri_ref, ox, oy, oz, dx, dy, dz
-            ):
-                occ = occ | hit
-            occ_ref[:] = occ.astype(jnp.int32)
+            if n_sph_chunks == 0:
+                tri_window_sweep()
+            elif n_tri_chunks == 0:
+                sph_window_sweep()
+            else:
+                pl.when(jc < n_tri_chunks)(tri_window_sweep)
+                pl.when(jc >= n_tri_chunks)(sph_window_sweep)
 
     if use_sl:
         # padded steps (j >= count) skip even the slab eval
@@ -877,23 +1027,55 @@ def _chunked_tiles_call(
     n_sph = scene.sph_radius.shape[0]
     n_pln = scene.pln_valid.shape[0]
     n_tri = scene.tri_valid.shape[0]
-    n_chunks = n_tri // TRI_CHUNK
+    n_tri_chunks = n_tri // TRI_CHUNK
 
     refs = _scene_refs(scene)
     small_refs = refs[:10]
-    # ONE consolidated (n_tri, TRI_COLS) constant table -> one SMEM
+    # ONE consolidated (rows, TRI_COLS) constant table -> one SMEM
     # window DMA per chunk step (8 separate windows cost ~6 us/step of
-    # pure overhead — measured; see PERFORMANCE.md round 3).
+    # pure overhead — measured; see PERFORMANCE.md round 3). Sphere
+    # windows (when _chunk_spheres) append to the same table; their
+    # chunk kind is static from the chunk index.
     tri_const = tri_const_table(scene)
+    if _chunk_spheres(scene):
+        n_sph_chunks = n_sph // TRI_CHUNK
+        sph_const = sphere_const_table(scene)
+        sph_bounds = sphere_chunk_bounds(scene)
+        if n_tri:
+            tri_const = jnp.concatenate([tri_const, sph_const], axis=0)
+            bounds = jnp.concatenate(
+                [chunk_bounds(scene), sph_bounds], axis=0
+            )
+        else:
+            tri_const = sph_const
+            bounds = sph_bounds
+        # Spheres left the chunk-0 unroll: a many-sphere constant table
+        # must not ride SMEM, so the kernel gets 1-row dummies instead.
+        small_refs = (
+            jnp.zeros((1, 3), jnp.float32),
+            jnp.zeros((1,), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+        ) + tuple(small_refs[3:])
+        n_sph_kernel = 0
+    else:
+        n_sph_chunks = 0
+        bounds = chunk_bounds(scene)
+        n_sph_kernel = n_sph
+    n_chunks = n_tri_chunks + n_sph_chunks
 
-    bounds = chunk_bounds(scene)
     use_sl = _use_shortlist(n_chunks, grid_rays)
 
     n_ray_ins = len(comps)
     kernel = (
-        partial(_chunked_any_kernel, n_sph, n_pln, use_mask, use_sl)
+        partial(
+            _chunked_any_kernel, n_sph_kernel, n_pln,
+            n_tri_chunks, n_sph_chunks, use_mask, use_sl,
+        )
         if any_only
-        else partial(_chunked_closest_kernel, n_sph, n_pln, use_mask, use_sl)
+        else partial(
+            _chunked_closest_kernel, n_sph_kernel, n_pln,
+            n_tri_chunks, n_sph_chunks, use_mask, use_sl,
+        )
     )
     if any_only:
         out_dtypes = (jnp.int32,)

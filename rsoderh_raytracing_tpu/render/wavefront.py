@@ -395,20 +395,24 @@ def wavefront_loop_custom(
         import warnings
 
         n_tri = scene.tri_valid.shape[0]
-        n_small = (
-            scene.sph_radius.shape[0] + scene.pln_valid.shape[0]
-        )
+        n_sph = scene.sph_radius.shape[0]
+        n_pln = scene.pln_valid.shape[0]
         if n_tri > pallas_intersect.MAX_CHUNKED_TRIS:
             reason = (
                 f"{n_tri} padded triangle lanes exceed the chunked "
                 f"ceiling ({pallas_intersect.MAX_CHUNKED_TRIS})"
             )
+        elif n_sph > pallas_intersect.MAX_CHUNKED_SPHERES:
+            reason = (
+                f"{n_sph} padded sphere lanes exceed the chunked "
+                f"ceiling ({pallas_intersect.MAX_CHUNKED_SPHERES})"
+            )
         else:
             reason = (
-                f"{n_small} padded sphere/plane lanes leave no room "
-                f"for a {pallas_intersect.TRI_CHUNK}-triangle chunk in "
-                f"the {pallas_intersect.MAX_UNROLL_PRIMS}-lane unroll "
-                "budget"
+                f"{n_pln} padded plane lanes leave no room for a "
+                f"{pallas_intersect.TRI_CHUNK}-row window in the "
+                f"{pallas_intersect.MAX_UNROLL_PRIMS}-lane unroll "
+                "budget (planes are not chunked)"
             )
         warnings.warn(
             f"scene exceeds every Pallas kernel path ({reason}); "

@@ -141,8 +141,24 @@ def build_device_scene(
         mat_metallic[i] = mat.metallic
         mat_emission[i] = mat.emission
 
-    # Spheres
+    # Spheres. Mirror the triangle chunk-padding rule below: when the
+    # sphere+plane unroll would overflow the chunked kernels' per-step
+    # budget, pad spheres to whole TRI_CHUNK windows so they stream as
+    # sphere chunks (ops/pallas_intersect._chunk_spheres) instead of
+    # silently dropping the scene to the composed XLA sweep.
+    from rsoderh_raytracing_tpu.ops.pallas_intersect import (
+        MAX_UNROLL_PRIMS,
+        TRI_CHUNK,
+    )
+
     s_n = _round_up(len(scene.spheres), pad_to)
+    p_n_probe = _round_up(len(scene.planes), pad_to)
+    if (
+        len(scene.spheres) > 0
+        and s_n + p_n_probe + TRI_CHUNK > MAX_UNROLL_PRIMS
+        and p_n_probe + TRI_CHUNK <= MAX_UNROLL_PRIMS
+    ):
+        s_n = _round_up(len(scene.spheres), TRI_CHUNK)
     sph_pos = np.zeros((s_n, 3), np.float32)
     sph_radius = np.zeros((s_n,), np.float32)
     sph_material = np.zeros((s_n,), np.int32)
@@ -174,11 +190,6 @@ def build_device_scene(
     # spheres/planes) too big to unroll yet not chunk-divisible, silently
     # dropping them to the composed XLA path.
     tris = scene.meshes.triangles
-    from rsoderh_raytracing_tpu.ops.pallas_intersect import (
-        MAX_UNROLL_PRIMS,
-        TRI_CHUNK,
-    )
-
     import os as _os
 
     if (

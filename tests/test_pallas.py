@@ -142,21 +142,25 @@ def test_fused_trace_matches_composed():
 
 
 def test_budget_gates():
-    """Medium scenes use the fori_loop variant; scenes beyond
-    MAX_LOOP_PRIMS fall back to XLA."""
+    """Gate selection across the size budgets: medium sphere clouds ride
+    sphere chunk windows (round 3 — previously the loop variant), plane
+    clouds past the unroll budget use the opt-in fori_loop variant, and
+    plane clouds beyond MAX_LOOP_PRIMS fall back to XLA (planes are
+    never chunked)."""
     from rsoderh_raytracing_tpu.ops import pallas_intersect
     from rsoderh_raytracing_tpu.scene.camera import Camera
     from rsoderh_raytracing_tpu.scene.device import build_device_scene
     from rsoderh_raytracing_tpu.scene.types import (
         Material,
         PackedMeshes,
+        Plane,
         Scene,
         Sphere,
     )
 
     rng = np.random.default_rng(3)
 
-    def sphere_scene(count):
+    def cloud_scene(n_spheres=0, n_planes=0):
         return build_device_scene(
             Scene(
                 materials=[Material((1, 1, 1), 1, 0, (0, 0, 0))],
@@ -164,20 +168,33 @@ def test_budget_gates():
                     Sphere(
                         pos=rng.uniform(-10, 10, 3), radius=0.5, material_id=0
                     )
-                    for _ in range(count)
+                    for _ in range(n_spheres)
                 ],
-                planes=[],
+                planes=[
+                    Plane(
+                        pos=rng.uniform(-10, 10, 3),
+                        forward=rng.normal(size=3),
+                        right=rng.normal(size=3),
+                        material_id=0,
+                    )
+                    for _ in range(n_planes)
+                ],
                 meshes=PackedMeshes.empty(),
                 camera=Camera(pos=[0, 0, 0], yaw=0, pitch=0, fov_y=1.0),
             )
         )
 
-    medium = sphere_scene(pallas_intersect.MAX_UNROLL_PRIMS + 8)
+    medium = cloud_scene(n_spheres=pallas_intersect.MAX_UNROLL_PRIMS + 8)
     assert pallas_intersect.sweep_supported(medium)
-    assert pallas_intersect._use_loop(medium)
+    assert pallas_intersect._use_chunked(medium)
+    assert not pallas_intersect._use_loop(medium)
 
-    huge = sphere_scene(pallas_intersect.MAX_LOOP_PRIMS + 8)
-    assert not pallas_intersect.sweep_supported(huge)
+    plane_cloud = cloud_scene(n_planes=pallas_intersect.MAX_UNROLL_PRIMS + 8)
+    assert pallas_intersect.sweep_supported(plane_cloud)
+    assert pallas_intersect._use_loop(plane_cloud)
+
+    huge_planes = cloud_scene(n_planes=pallas_intersect.MAX_LOOP_PRIMS + 8)
+    assert not pallas_intersect.sweep_supported(huge_planes)
 
 
 def test_chunked_variant_matches_xla_suzanne(assets_dir):
@@ -207,27 +224,38 @@ def test_chunked_variant_matches_xla_suzanne(assets_dir):
     np.testing.assert_allclose(t_p[hit], t_x[hit], rtol=1e-5)
 
 
-def test_loop_variant_matches_xla_sphere_cloud():
+def test_loop_variant_matches_xla_plane_cloud():
     """The fori_loop variant (opt-in; used when chunking doesn't apply)
-    matches the XLA sweep on a >unroll-budget sphere cloud."""
+    matches the XLA sweep on a >unroll-budget PLANE cloud — planes are
+    the one primitive the chunked grid never streams (sphere clouds now
+    ride sphere windows, see test_sphere_chunked_matches_xla)."""
     from rsoderh_raytracing_tpu.ops import intersect, pallas_intersect
     from rsoderh_raytracing_tpu.scene.camera import Camera
     from rsoderh_raytracing_tpu.scene.device import build_device_scene
     from rsoderh_raytracing_tpu.scene.types import (
         Material,
         PackedMeshes,
+        Plane,
         Scene,
         Sphere,
     )
 
     rng = np.random.default_rng(7)
+
+    def rand_plane():
+        f = rng.normal(size=3)
+        r = rng.normal(size=3)
+        return Plane(
+            pos=rng.uniform(-10, 10, 3), forward=f, right=r, material_id=0
+        )
+
     scene = Scene(
         materials=[Material((1, 1, 1), 1, 0, (0, 0, 0))],
         spheres=[
             Sphere(pos=rng.uniform(-10, 10, 3), radius=0.6, material_id=0)
-            for _ in range(256)
+            for _ in range(16)
         ],
-        planes=[],
+        planes=[rand_plane() for _ in range(250)],
         meshes=PackedMeshes.empty(),
         camera=Camera(pos=[0, 0, 0], yaw=0, pitch=0, fov_y=1.0),
     )
@@ -724,3 +752,253 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
     for a, b in zip(no_mask_sl, no_mask):
         np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(occ_nm_sl, occ_nm)
+
+
+# -- sphere chunk windows (many-sphere scenes on the kernel path) --------------
+
+
+def _sphere_cloud_scene(n_spheres, n_tris=0, seed=7, with_plane=True):
+    """Scene with a random sphere cloud (+ optional small random tris and
+    a ground plane) for the sphere-window kernel tests."""
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Plane,
+        Scene,
+        Sphere,
+    )
+
+    rng = np.random.default_rng(seed)
+    spheres = [
+        Sphere(
+            pos=rng.uniform(-8.0, 8.0, 3),
+            radius=float(rng.uniform(0.1, 0.6)),
+            material_id=0,
+        )
+        for _ in range(n_spheres)
+    ]
+    planes = (
+        [
+            Plane(
+                pos=[-20.0, -9.0, -20.0],
+                forward=[0.0, 0.0, 40.0],
+                right=[40.0, 0.0, 0.0],
+                material_id=0,
+            )
+        ]
+        if with_plane
+        else []
+    )
+    if n_tris:
+        centers = rng.uniform(-6.0, 6.0, size=(n_tris, 3)).astype(np.float32)
+        vertices = np.concatenate(
+            [
+                centers,
+                centers + np.float32([1.5, 0, 0]),
+                centers + np.float32([0, 1.5, 0]),
+            ],
+            axis=0,
+        ).astype(np.float32)
+        normals = np.array([[0.0, 0.0, 1.0]], np.float32)
+        tris = np.stack(
+            [
+                np.arange(n_tris),
+                np.arange(n_tris) + n_tris,
+                np.arange(n_tris) + 2 * n_tris,
+                np.zeros(n_tris, np.int64),
+                np.zeros(n_tris, np.int64),
+                np.zeros(n_tris, np.int64),
+                np.zeros(n_tris, np.int64),
+            ],
+            axis=-1,
+        ).astype(np.int32)
+        meshes = PackedMeshes(
+            vertices=vertices, normals=normals, triangles=tris
+        )
+    else:
+        meshes = PackedMeshes.empty()
+    return Scene(
+        materials=[Material((0.7, 0.6, 0.5), 0.5, 0.0, (0, 0, 0))],
+        spheres=spheres,
+        planes=planes,
+        meshes=meshes,
+        camera=Camera(pos=[0, 0, 20], yaw=0, pitch=0, fov_y=1.2),
+    )
+
+
+def test_sphere_chunked_matches_xla():
+    """A >unroll-budget sphere cloud streams as sphere chunk windows on
+    the chunked kernel path (the reference handles any sphere count via
+    its BVH, src/bvh.rs:13-28) and matches the XLA sweep: winner types
+    and indices exactly, t at sweep tolerance, occlusion exactly."""
+    from rsoderh_raytracing_tpu.ops import intersect, pallas_intersect
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    ds = build_device_scene(_sphere_cloud_scene(300))
+    assert ds.sph_radius.shape[0] == 320  # padded to whole windows
+    assert pallas_intersect._chunk_spheres(ds)
+    assert pallas_intersect._chunked_applicable(ds)
+    assert pallas_intersect._use_chunked(ds)
+    assert pallas_intersect.sweep_supported(ds)
+    assert pallas_intersect.chunked_trace_supported(ds)
+
+    ro, rd = _random_rays(300, seed=11)
+    t_p, ty_p, ix_p = map(
+        np.asarray, pallas_intersect.closest_sweep(ds, ro, rd)
+    )
+    t_x, ty_x, ix_x = map(np.asarray, intersect._sweep_xla(ds, ro, rd))
+    np.testing.assert_array_equal(ty_p, ty_x)
+    hit = ty_x >= 0
+    assert (ty_x == 0).sum() > 20  # plenty of sphere winners
+    np.testing.assert_array_equal(ix_p[hit], ix_x[hit])
+    tight = hit & ~_grazing_sphere(ds, ro, rd, ty_x, ix_x)
+    np.testing.assert_allclose(t_p[tight], t_x[tight], rtol=1e-4, atol=1e-4)
+
+    a = np.asarray(pallas_intersect.any_sweep(ds, ro, rd))
+    np.testing.assert_array_equal(a, ty_x >= 0)
+
+
+def _grazing_sphere(ds, ro, rd, ty, ix):
+    """Lanes whose winner is a NEAR-TANGENT sphere hit: the quadratic's
+    b^2-4ac cancellation amplifies fma-contraction ulps unboundedly
+    there, so t comparisons exclude them (winner identity stays exact)."""
+    pos = np.asarray(ds.sph_pos)
+    r = np.asarray(ds.sph_radius)
+    safe_ix = np.clip(ix, 0, pos.shape[0] - 1)
+    oc = pos[safe_ix] - ro
+    tca = (oc * rd).sum(-1)
+    d2 = (oc * oc).sum(-1) - tca**2
+    return (ty == 0) & (np.abs(d2 - r[safe_ix] ** 2) < 1e-3)
+
+
+def test_sphere_tri_mixed_chunks_match_xla():
+    """Triangle and sphere windows share one chunk grid (tri chunks
+    first, then sphere chunks): a mixed cloud matches the XLA sweep."""
+    from rsoderh_raytracing_tpu.ops import intersect, pallas_intersect
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    ds = build_device_scene(_sphere_cloud_scene(300, n_tris=128))
+    assert pallas_intersect._chunk_spheres(ds)
+    assert pallas_intersect._use_chunked(ds)
+    assert ds.tri_valid.shape[0] == 128
+
+    ro, rd = _random_rays(300, seed=12)
+    t_p, ty_p, ix_p = map(
+        np.asarray, pallas_intersect.closest_sweep(ds, ro, rd)
+    )
+    t_x, ty_x, ix_x = map(np.asarray, intersect._sweep_xla(ds, ro, rd))
+    np.testing.assert_array_equal(ty_p, ty_x)
+    hit = ty_x >= 0
+    assert (ty_x == 0).sum() > 10 and (ty_x == 2).sum() > 3
+    np.testing.assert_array_equal(ix_p[hit], ix_x[hit])
+    tight = hit & ~_grazing_sphere(ds, ro, rd, ty_x, ix_x)
+    np.testing.assert_allclose(t_p[tight], t_x[tight], rtol=1e-4, atol=1e-4)
+
+    a = np.asarray(pallas_intersect.any_sweep(ds, ro, rd))
+    np.testing.assert_array_equal(a, ty_x >= 0)
+
+
+def test_sphere_chunk_culls_and_shortlist_preserve_results(monkeypatch):
+    """Per-lane culls and the per-tile shortlist stay result-preserving
+    on sphere windows: a 2176-sphere cloud (34 chunks, shortlist
+    engaged) with live masks, axis-parallel rays, far origins, and a
+    non-finite live lane is bit-identical to the shortlist-disabled
+    kernels on every live lane."""
+    import jax.numpy as jnp
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    ds = build_device_scene(_sphere_cloud_scene(2150, seed=13))
+    n_chunks = ds.sph_radius.shape[0] // pint.TRI_CHUNK
+    assert n_chunks == 34 and pint._chunk_spheres(ds)
+
+    rng = np.random.default_rng(14)
+    n = 512
+    ro = rng.uniform(-9.0, 9.0, size=(n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd[:16] = 0.0
+    rd[0:8, 1] = 1.0
+    rd[8:16, 0] = -1.0
+    far = rng.uniform(500.0, 2000.0, size=(24, 1)).astype(np.float32)
+    fdir = rng.normal(size=(24, 3)).astype(np.float32)
+    fdir /= np.linalg.norm(fdir, axis=-1, keepdims=True)
+    ro[16:40] = fdir * far
+    rd[16:40] = -fdir
+    ro[40] = np.nan
+    live = rng.integers(0, 2, size=n).astype(np.int32)
+    live[40] = 1
+
+    n_pad = -(-n // pint.BLOCK) * pint.BLOCK
+
+    def tile1(v, fill):
+        c = np.concatenate([v, np.full((n_pad - n,), fill, v.dtype)])
+        return jnp.asarray(c.reshape(n_pad // pint.LANES, pint.LANES))
+
+    ro_t = tuple(tile1(ro[:, k], np.float32(1.0)) for k in range(3))
+    rd_t = tuple(tile1(rd[:, k], np.float32(1.0)) for k in range(3))
+    live_t = tile1(live, np.int32(0))
+    grid_rays = (n_pad // pint.LANES) // pint.SUBLANES
+    assert pint._use_shortlist(n_chunks, grid_rays)
+
+    with_sl = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t, live_mask=live_t)
+    ]
+    occ_sl = np.asarray(
+        pint.chunked_any_tiles(ds, ro_t, rd_t, hit_mask=live_t)
+    )
+    monkeypatch.setenv("RT_DISABLE_SHORTLIST", "1")
+    without = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t, live_mask=live_t)
+    ]
+    occ_no = np.asarray(
+        pint.chunked_any_tiles(ds, ro_t, rd_t, hit_mask=live_t)
+    )
+    m = np.asarray(tile1(live, np.int32(0))).reshape(-1) != 0
+    for a, b in zip(with_sl, without):
+        np.testing.assert_array_equal(a.reshape(-1)[m], b.reshape(-1)[m])
+    np.testing.assert_array_equal(
+        occ_sl.reshape(-1)[m], occ_no.reshape(-1)[m]
+    )
+
+
+def test_sphere_cloud_path_boundaries(tiny_env):
+    """Path selection around the sphere-window gates: small clouds stay
+    on the unrolled sweep, big clouds ride sphere chunks, clouds past
+    MAX_CHUNKED_SPHERES fall back loudly to the composed sweep."""
+    import warnings
+
+    import pytest as _pytest
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect, pallas_wavefront
+    from rsoderh_raytracing_tpu.render.integrator import camera_pytree
+    from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    small = build_device_scene(_sphere_cloud_scene(100))
+    assert not pallas_intersect._chunk_spheres(small)
+    assert not pallas_intersect._use_chunked(small)
+    assert pallas_intersect.sweep_supported(small)  # unrolled
+
+    big = build_device_scene(_sphere_cloud_scene(200))
+    assert pallas_intersect._chunk_spheres(big)
+    assert pallas_intersect._use_chunked(big)
+
+    over_scene = _sphere_cloud_scene(
+        pallas_intersect.MAX_CHUNKED_SPHERES + 1, with_plane=True
+    )
+    over = build_device_scene(over_scene)
+    assert not pallas_intersect._chunked_applicable(over)
+    assert not pallas_wavefront.supported(over)
+    cam = camera_pytree(over_scene.camera)
+    with _pytest.warns(RuntimeWarning, match="sphere lanes exceed"):
+        img = np.asarray(
+            render_wavefront(
+                over, tiny_env, cam, np.uint32(0), (4, 4), 1, 2
+            )
+        )
+    assert np.isfinite(img).all()
