@@ -9,6 +9,7 @@ the cross-checks used to validate it:
     bitwise-equal; the rest are fma-contraction trajectory flips),
 1b. big-scene (chunked + mega-shade) path vs composed on suzanne,
 1c. lifted-ceiling path vs composed on suzanne_hi (15,488 tris),
+1d. sphere-window path vs composed on the 1000-sphere cloud,
 2.  sharded (shard_map) == unsharded, bitwise,
 3.  fused_trace vs composed closest_hit/any_hit/material takes,
 4.  bounce-synchronized rounds (render_spp_sync) == render_wavefront,
@@ -82,7 +83,7 @@ def main() -> int:
     size = 256
     failures = 0
 
-    def kernel_vs_composed(name, dscene, camera, px):
+    def kernel_vs_composed(name, dscene, camera, px, thresh=0.995):
         nonlocal failures
         img_k = np.asarray(
             render_wavefront(
@@ -101,7 +102,7 @@ def main() -> int:
         eq = np.abs(img_k - img_x).max(-1) <= 1e-5
         frac = float(eq.mean())
         failures += record(
-            name, frac > 0.995,
+            name, frac > thresh,
             pixels_bit_equal_frac=round(frac, 6),
             diverging_pixels=int((~eq).sum()),
             size=px,
@@ -127,6 +128,28 @@ def main() -> int:
     assert pallas_intersect.chunked_trace_supported(hi), "hi path off"
     kernel_vs_composed(
         "suzanne_hi (15488 tris) kernel vs composed 1spp", hi, hi_cam, 128
+    )
+
+    # 1d. sphere windows: the 1000-sphere cloud on the chunked path --------
+    sph_scene = load_scene("assets/scenes/spheres.toml")
+    sph = build_device_scene(sph_scene)
+    sph_cam = camera_pytree(sph_scene.camera)
+    assert pallas_intersect.chunked_trace_supported(sph), "sphere path off"
+    assert pallas_intersect._chunk_spheres(sph), "sphere windows off"
+    # Looser bound than the triangle scenes: the fma-contraction flip
+    # class scales with the number of sphere QUADRATICS per segment
+    # (disc = b^2-4ac cancellation amplifies a contraction ulp into a
+    # ~1e-6-relative t perturbation on ordinary hits, not just grazes),
+    # and every segment here tests 1000 spheres vs house's 3. Measured
+    # 96.7% bit-equal; winner identity and occlusion are EXACT on
+    # camera rays, and at 64 spp the kernel-vs-composed clamped RMSE
+    # (5.3%) sits BELOW the composed-vs-composed decorrelated-stream
+    # noise floor (6.9-7.2%) — the scene's mirror spheres make an
+    # unclamped-firefly heavy tail both paths sample identically in
+    # distribution (docs/ROUND3_NOTES.md, sphere-window section).
+    kernel_vs_composed(
+        "spheres (1000 sphere windows) kernel vs composed 1spp",
+        sph, sph_cam, 128, thresh=0.95,
     )
 
     # 2. sharded == unsharded, bitwise ------------------------------------
