@@ -596,6 +596,45 @@ def test_suzanne_hi_on_chunked_path(assets_dir):
     np.testing.assert_allclose(t_p[hit], t_x[hit], rtol=1e-5)
 
 
+def test_spheres_asset_on_sphere_window_path(assets_dir):
+    """The 1000-sphere benchmark asset (assets/scenes/spheres.toml,
+    the recorded 31.4 Mrays/s config) rides the sphere-window chunked
+    path — a gate change must not silently drop it to the composed
+    sweep — and its closest sweep matches the XLA dense sweep."""
+    import os as _os
+
+    from rsoderh_raytracing_tpu import load_scene
+    from rsoderh_raytracing_tpu.ops import intersect, pallas_intersect
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    scene = load_scene(_os.path.join(assets_dir, "scenes", "spheres.toml"))
+    assert len(scene.spheres) == 1000
+    ds = build_device_scene(scene)
+    assert ds.sph_radius.shape[0] == 1024  # 16 sphere chunks exactly
+    assert pallas_intersect._chunk_spheres(ds)
+    assert pallas_intersect._chunked_applicable(ds)
+    assert pallas_intersect.chunked_trace_supported(ds)
+
+    # rays from the scene camera's side aimed into the cloud
+    ro, _ = _random_rays(128, seed=15)
+    ro[:, 1] += 10.0
+    ro[:, 2] += 32.0
+    rng = np.random.default_rng(16)
+    target = rng.normal(0.0, 4.0, size=(128, 3)).astype(np.float32)
+    rd = target - ro
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    t_p, ty_p, ix_p = map(
+        np.asarray, pallas_intersect.closest_sweep(ds, ro, rd)
+    )
+    t_x, ty_x, ix_x = map(np.asarray, intersect._sweep_xla(ds, ro, rd))
+    np.testing.assert_array_equal(ty_p, ty_x)
+    hit = ty_x >= 0
+    assert (ty_x == 0).sum() > 20  # plenty of sphere winners
+    np.testing.assert_array_equal(ix_p[hit], ix_x[hit])
+    tight = hit & ~_grazing_sphere(ds, ro, rd, ty_x, ix_x)
+    np.testing.assert_allclose(t_p[tight], t_x[tight], rtol=1e-4, atol=1e-4)
+
+
 def test_beyond_ceiling_falls_back_loudly(tiny_env):
     """A scene past MAX_CHUNKED_TRIS renders on the composed XLA sweep
     with a RuntimeWarning naming the cliff (the round-2 silent-fallback
