@@ -206,6 +206,82 @@ def test_chunked_kernel_wavefront_matches_composed_interpret(
     np.testing.assert_allclose(kernel.mean(), composed.mean(), rtol=1e-3)
 
 
+def test_sphere_window_wavefront_matches_composed_interpret(
+    monkeypatch, tiny_env
+):
+    """End-to-end render parity for SPHERE chunk windows: a 200-sphere
+    cloud (>unroll budget, 4 sphere chunks) through the full chunked
+    two-kernel wavefront equals the composed body in interpreter mode.
+    Flip-aware criterion: XLA contracts the sphere quadratic's fma
+    chains differently across the two compiled programs, and the
+    b^2-4ac cancellation amplifies that to ~1e-6-relative t on
+    ordinary hits, so a few whole-path trajectory flips per image are
+    expected even on CPU (docs/ROUND3_NOTES.md, hardware divergence
+    characterization); non-flipped pixels must agree tightly."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect, pallas_wavefront
+    from rsoderh_raytracing_tpu.render.integrator import camera_pytree
+    from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Plane,
+        Scene,
+        Sphere,
+    )
+
+    rng = np.random.default_rng(7)
+    scene = Scene(
+        # diffuse-only: keeps radiance bounded (no mirror firefly tail),
+        # so flipped trajectories stay O(1) and the means comparable
+        materials=[Material((0.7, 0.6, 0.5), 0.5, 0.0, (0, 0, 0))],
+        spheres=[
+            Sphere(
+                pos=rng.uniform(-8.0, 8.0, 3),
+                radius=float(rng.uniform(0.1, 0.6)),
+                material_id=0,
+            )
+            for _ in range(200)
+        ],
+        planes=[
+            Plane(
+                pos=[-20.0, -9.0, -20.0],
+                forward=[0.0, 0.0, 40.0],
+                right=[40.0, 0.0, 0.0],
+                material_id=0,
+            )
+        ],
+        meshes=PackedMeshes.empty(),
+        camera=Camera(pos=[0, 0, 20], yaw=0, pitch=0, fov_y=1.2),
+    )
+    ds = build_device_scene(scene)
+    assert pallas_intersect._chunk_spheres(ds)
+    cam = camera_pytree(scene.camera)
+    size = (16, 16)
+
+    composed = np.asarray(
+        render_wavefront(ds, tiny_env, cam, np.uint32(0), size, np.uint32(2))
+    )
+
+    monkeypatch.setenv("RT_PALLAS_INTERPRET", "1")
+    assert pallas_wavefront.supported(ds)
+    render_wavefront.clear_cache()
+    kernel = np.asarray(
+        render_wavefront(ds, tiny_env, cam, np.uint32(0), size, np.uint32(2))
+    )
+    render_wavefront.clear_cache()
+
+    flip = np.abs(kernel - composed).max(-1) > 1e-2
+    assert flip.mean() < 0.10, f"{int(flip.sum())} whole-path flips"
+    np.testing.assert_allclose(
+        kernel[~flip], composed[~flip], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(kernel.mean(), composed.mean(), rtol=2e-2)
+
+
 def test_lane_order_block_roundtrip():
     """Block-major lane order is a bijection: to/from_lanes invert each
     other and the emitted pixel coordinates name each lane's true pixel."""
