@@ -10,6 +10,7 @@ the cross-checks used to validate it:
 1b. big-scene (chunked + mega-shade) path vs composed on suzanne,
 1c. lifted-ceiling path vs composed on suzanne_hi (15,488 tris),
 1d. sphere-window path vs composed on the 1000-sphere cloud,
+1e. MIXED grid (triangle + sphere windows in one kernel) vs composed,
 2.  sharded (shard_map) == unsharded, bitwise,
 3.  fused_trace vs composed closest_hit/any_hit/material takes,
 4.  bounce-synchronized rounds (render_spp_sync) == render_wavefront,
@@ -150,6 +151,39 @@ def main() -> int:
     kernel_vs_composed(
         "spheres (1000 sphere windows) kernel vs composed 1spp",
         sph, sph_cam, 128, thresh=0.95,
+    )
+
+    # 1e. mixed grid: triangle windows + sphere windows in ONE kernel ------
+    # (the pl.when dual-sweep branch; suzanne's mesh + a deterministic
+    # 200-sphere cloud). Bound sits between the tri-only (99.5%) and
+    # sphere-only (95%) thresholds — flips scale with the sphere count.
+    from rsoderh_raytracing_tpu.scene.types import Scene, Sphere
+
+    rng_mix = np.random.default_rng(5)
+    mixed_scene = Scene(
+        materials=suz_scene.materials,
+        spheres=list(suz_scene.spheres)
+        + [
+            Sphere(
+                pos=rng_mix.uniform(-4.0, 4.0, 3),
+                radius=float(rng_mix.uniform(0.1, 0.4)),
+                material_id=int(
+                    rng_mix.integers(0, len(suz_scene.materials))
+                ),
+            )
+            for _ in range(200)
+        ],
+        planes=suz_scene.planes,
+        meshes=suz_scene.meshes,
+        camera=suz_scene.camera,
+    )
+    mixed = build_device_scene(mixed_scene)
+    assert pallas_intersect._chunk_spheres(mixed), "mixed sphere windows off"
+    assert mixed.tri_valid.shape[0] > 0
+    assert pallas_intersect.chunked_trace_supported(mixed), "mixed path off"
+    kernel_vs_composed(
+        "mixed grid (16 tri + 4 sphere windows) kernel vs composed 1spp",
+        mixed, suz_cam, 128, thresh=0.97,
     )
 
     # 2. sharded == unsharded, bitwise ------------------------------------
