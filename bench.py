@@ -8,12 +8,26 @@ Baseline target: 100 Mrays/s per v5e chip (BASELINE.json).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/100}
+
+The TPU arrives over a tunnel that flakes: round 3's driver capture
+died on `Unable to initialize backend 'axon': UNAVAILABLE` while the
+same bench ran fine minutes before and after. JAX backend init is
+once-per-process, so the retry must re-exec: the parent process (this
+file run directly) launches the actual benchmark as a child subprocess
+(RT_BENCH_CHILD=1) and retries a bounded number of times with backoff
+when the child dies on a transient backend error. If every attempt
+fails, the parent still prints ONE machine-readable JSON line with an
+"error" field — never a raw traceback as the round's perf record.
+
+Knobs: RT_BENCH_ATTEMPTS (default 3), RT_BENCH_BACKOFF_S (default 45),
+RT_BENCH_CHILD=1 runs the benchmark in-process (no retry wrapper).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -22,7 +36,7 @@ import numpy as np
 BASELINE_MRAYS = 100.0
 
 
-def main() -> int:
+def run_bench() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
 
@@ -133,6 +147,85 @@ def main() -> int:
     }
     print(json.dumps(result))
     return 0
+
+
+def run_with_retry(child_cmd, attempts, backoff_s, *, log=None):
+    """Run ``child_cmd`` until it emits a parseable result JSON line.
+
+    Returns (result_dict, exit_code). A successful attempt is one whose
+    last stdout line parses as a JSON object carrying a numeric "value";
+    the parent relays that line verbatim. After ``attempts`` failures the
+    returned dict is a structured failure record ({"error": ...}) so the
+    driver's BENCH_r*.json always parses. Tested by
+    tests/test_bench_retry.py with fake child commands.
+    """
+    log = log or (lambda msg: print(msg, file=sys.stderr, flush=True))
+    # A downed tunnel can HANG backend init rather than fail it (seen
+    # live: jax.devices() stuck >9 min with no error) — bound each
+    # attempt so a hang is just another retryable failure.
+    attempt_timeout = float(os.environ.get("RT_BENCH_TIMEOUT_S", "2400"))
+    errors = []
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                child_cmd, capture_output=True, text=True,
+                env={**os.environ, "RT_BENCH_CHILD": "1"},
+                timeout=attempt_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            proc = None
+        result = None
+        if proc is not None and proc.returncode == 0:
+            lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            try:
+                parsed = json.loads(lines[-1]) if lines else None
+            except ValueError:
+                parsed = None
+            if isinstance(parsed, dict) and isinstance(
+                parsed.get("value"), (int, float)
+            ):
+                result = parsed
+        if result is not None:
+            if attempt > 1:
+                result["attempts"] = attempt
+            return result, 0
+        if proc is None:
+            summary = f"attempt timed out after {attempt_timeout:.0f}s"
+        else:
+            # Keep only the informative tail of stderr (the exception line).
+            tail = [ln for ln in proc.stderr.splitlines() if ln.strip()]
+            summary = (
+                tail[-1][:300] if tail else f"rc={proc.returncode}, no output"
+            )
+        errors.append(summary)
+        log(
+            f"bench attempt {attempt}/{attempts} failed: {summary}"
+        )
+        if attempt < attempts:
+            log(f"retrying in {backoff_s:.0f}s (transient tunnel flake?)")
+            time.sleep(backoff_s)
+    failure = {
+        "metric": "bench failed after retries",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "error": errors[-1] if errors else "unknown",
+        "attempts": attempts,
+        "attempt_errors": errors,
+    }
+    return failure, 1
+
+
+def main() -> int:
+    if os.environ.get("RT_BENCH_CHILD") == "1":
+        return run_bench()
+    attempts = int(os.environ.get("RT_BENCH_ATTEMPTS", "3"))
+    backoff_s = float(os.environ.get("RT_BENCH_BACKOFF_S", "45"))
+    result, rc = run_with_retry(
+        [sys.executable, os.path.abspath(__file__)], attempts, backoff_s
+    )
+    print(json.dumps(result))
+    return rc
 
 
 if __name__ == "__main__":
