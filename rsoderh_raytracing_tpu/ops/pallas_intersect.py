@@ -390,8 +390,14 @@ def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz, t_max=None):
     fp error proportional to the hit distance (chunk_bounds' ~1e-5
     spatial inflation covers nearby origins but is dwarfed by t-ulps
     once |origin| >> chunk extent), so the best-t comparison takes a
-    1e-4 relative + 1e-4 absolute slack — far above accumulated
-    arithmetic ulps, far below any culling-relevant margin."""
+    1e-3 relative + 1e-4 absolute slack. 1e-3 (not 1e-4) because
+    NEAR-TANGENT SPHERE hits amplify rounding: with disc ~ 0 the sqrt
+    turns the b^2-4ac ulp into ~sqrt(ulp) ~ 3e-4 relative in t, so a
+    grazing sphere's best_t can undershoot a later chunk's true slab
+    entry by more than 1e-4 relative (advisor round-3 finding). 1e-3
+    still culls essentially everything a tight bound would (a chunk
+    surviving only inside a 0.1% t-shell is vanishingly rare) and
+    keeps the cull exact for every divergence class we track."""
 
     def axis_slab(o, d, lo, hi):
         inv = 1.0 / d  # +-inf on axis-parallel rays
@@ -411,7 +417,7 @@ def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz, t_max=None):
     t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
     hit = t0 <= t1
     if t_max is not None:
-        hit = hit & (t0 <= t_max * (1.0 + 1e-4) + 1e-4)
+        hit = hit & (t0 <= t_max * (1.0 + 1e-3) + 1e-4)
     return hit
 
 
@@ -480,8 +486,10 @@ def sphere_const_table(scene):
 
 def sphere_chunk_bounds(scene):
     """(n_sph_chunks, 6) per-chunk AABBs over center +- radius, inflated
-    like chunk_bounds. Padded (invalid) spheres sit at the origin with
-    radius 0 — their point only ever ENLARGES bounds (conservative)."""
+    like chunk_bounds. Padded (invalid) spheres sit at the LAST REAL
+    sphere's center with radius 0 (scene/device.py) — a padded point
+    only ever ENLARGES bounds (conservative), and parking it on a real
+    center keeps the final partially-filled chunk's AABB tight."""
     n_chunks = scene.sph_radius.shape[0] // TRI_CHUNK
     r = scene.sph_radius[:, None]
     lo = (scene.sph_pos - r).reshape(n_chunks, TRI_CHUNK, 3).min(axis=1)
@@ -785,9 +793,13 @@ def _chunked_closest_kernel(
     planes, then triangles, keeping the FIRST winner on exact-t ties
     (strict <). Sphere windows sweep after the chunk-0 planes and the
     triangle windows, so their update OVERRIDES equal-t non-sphere
-    incumbents ((t == best_t) & (best_type != 0)) — restoring the
+    incumbents ((t == best_t) & (best_type > 0)) — restoring the
     composed priority exactly; sphere-vs-sphere ties keep the strict <
-    (windows ascend in sphere index, matching the composed scan)."""
+    (windows ascend in sphere index, matching the composed scan). The
+    override is restricted to REAL incumbents (planes/triangles,
+    type > 0): the miss sentinel (type -1, t = INF, a finite f32) must
+    never be overridden by a sphere whose computed t lands exactly on
+    INF — the composed sweep's strict < keeps the miss there."""
     if use_sl:
         sl_ref, ct_ref = args[:2]
         args = args[2:]
@@ -845,9 +857,10 @@ def _chunked_closest_kernel(
         base = (jc - n_tri_chunks) * TRI_CHUNK
 
         for i, t, hit in sph_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
-            # equal-t override of non-sphere incumbents: see docstring
+            # equal-t override of REAL non-sphere incumbents (> 0: the
+            # type -1 miss sentinel is never overridden): see docstring
             better = hit & (
-                (t < best_t) | ((t == best_t) & (best_type != 0))
+                (t < best_t) | ((t == best_t) & (best_type > 0))
             )
             best_t = jnp.where(better, t, best_t)
             best_type = jnp.where(better, 0, best_type)

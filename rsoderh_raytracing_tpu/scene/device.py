@@ -168,6 +168,16 @@ def build_device_scene(
         sph_radius[i] = sph.radius
         sph_material[i] = sph.material_id
         sph_valid[i] = True
+    if len(scene.spheres):
+        # Park trailing invalid (padded) spheres AT the last real
+        # sphere's center (radius 0) rather than the origin: a padded
+        # point only ever enlarges sphere_chunk_bounds' AABBs, and an
+        # origin point would stretch the final partially-filled chunk's
+        # AABB across the whole scene on scenes far from the origin,
+        # making its slab cull and shortlist entry useless (advisor
+        # round-3 finding). Correctness is unaffected either way —
+        # sph_valid masks padded rows out of every sweep.
+        sph_pos[len(scene.spheres):] = sph_pos[len(scene.spheres) - 1]
 
     # Planes
     p_n = _round_up(len(scene.planes), pad_to)
@@ -192,8 +202,15 @@ def build_device_scene(
     tris = scene.meshes.triangles
     import os as _os
 
+    # The reorder gate is the SAME condition that routes the scene onto
+    # the chunked kernel path (total padded lanes > the unroll budget,
+    # the tri_pad rule below) — gating on len(tris) alone would leave
+    # boundary scenes (few triangles + many spheres) riding the chunked
+    # kernels without Morton-compact chunks (advisor round-3 finding).
+    total_small = s_n + p_n + _round_up(len(tris), pad_to)
     if (
-        len(tris) > MAX_UNROLL_PRIMS
+        total_small > MAX_UNROLL_PRIMS
+        and len(tris) > 0
         and not with_bvh
         and _os.environ.get("RT_DISABLE_MORTON") != "1"
     ):
@@ -209,7 +226,6 @@ def build_device_scene(
         # set; only exact-tie winners (measure-zero) can differ.
         tris = tris[_morton_order(scene.meshes.vertices, tris)]
 
-    total_small = s_n + p_n + _round_up(len(tris), pad_to)
     tri_pad = pad_to if total_small <= MAX_UNROLL_PRIMS else TRI_CHUNK
     t_n = _round_up(len(tris), tri_pad)
     tri_a = np.zeros((t_n, 3), np.float32)
