@@ -21,6 +21,17 @@ lives in numpy with an optional C++ native fast path.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("RT_DEBUG_NANS") == "1":
+    # Opt-in NaN sanitizer (SURVEY.md section 5: the reference has no
+    # sanitizers; pure-functional JAX needs none, but jax_debug_nans is
+    # the cheap win available). Re-runs any op producing a NaN
+    # un-jitted and raises FloatingPointError at the source op.
+    import jax as _jax
+
+    _jax.config.update("jax_debug_nans", True)
+
 from rsoderh_raytracing_tpu.scene.toml_loader import load_scene  # noqa: F401
 from rsoderh_raytracing_tpu.scene.camera import Camera  # noqa: F401
 
