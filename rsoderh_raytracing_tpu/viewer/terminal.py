@@ -18,6 +18,11 @@ controller contract (src/camera.rs:184-364):
 - 'e' cycles the environment map
 - digits set dev_index (1 = normal, 3 = raw HDRI view)
 - moving resets progressive accumulation; holding still converges
+- resizing the terminal re-targets the render resolution and resets
+  accumulation (the reference's Resized -> State::resize contract,
+  src/app.rs:120, src/state.rs:651-700), capped at the requested
+  --resolution; frames step the free-run wavefront (the production
+  render path), so per-frame cost is one short device call
 - 'q'/Ctrl-C exits
 
 Terminal input is per-keypress (cbreak); without key-release events,
@@ -132,6 +137,21 @@ def parse_input(buf: bytes):
     return events, buf[i:]
 
 
+def _fit_resolution(
+    max_width: int, max_height: int, cols: int, rows: int
+) -> tuple[int, int]:
+    """Render resolution for a terminal of (cols, rows) cells: one pixel
+    per half-block cell slot, capped at the requested maximum, quantized
+    to multiples of 8 so a 1-column jiggle doesn't recompile, floored at
+    16. Unsized PTYs (cols/rows <= 0) keep the requested maximum."""
+    if cols <= 0 or rows <= 2:
+        return max_width, max_height
+    w = min(max_width, max(16, cols - cols % 8))
+    h_px = (rows - 2) * 2  # status line + two pixels per cell row
+    h = min(max_height, max(16, h_px - h_px % 8))
+    return w, h
+
+
 def run_viewer(
     scene,
     layout,
@@ -142,6 +162,8 @@ def run_viewer(
     max_fps: float = 30.0,
     environment_index: int = 0,
     intersector: str = "sweep",
+    adaptive_resolution: bool = True,
+    freerun_iters: int = 12,
 ) -> int:
     from rsoderh_raytracing_tpu.render.renderer import Renderer
     from rsoderh_raytracing_tpu.scene.camera import CameraController
@@ -266,6 +288,21 @@ def run_viewer(
             controller.set_key("slow", slow_hold > 0.0)
             renderer.camera = controller.update(renderer.camera, dt)
 
+            try:
+                cols, rows = os.get_terminal_size()
+            except OSError:
+                cols, rows = 80, 24
+            if adaptive_resolution:
+                # The reference rebuilds its render surfaces and resets
+                # accumulation when the window resizes
+                # (src/app.rs:120 -> src/state.rs:651-700); the terminal
+                # analog polls the cell grid and re-targets the render
+                # resolution (film reset included via Renderer.resize).
+                target = _fit_resolution(width, height, cols, rows)
+                if target != (renderer.width, renderer.height):
+                    renderer.resize(*target)
+                    sys.stdout.write("\x1b[2J")  # stale frame geometry
+
             if dev_index == 2:
                 img = renderer.debug_alias_scatter()
                 count = 0
@@ -273,13 +310,12 @@ def run_viewer(
                 img = renderer.debug_hdri_view()
                 count = 0
             else:
-                count = renderer.step()
+                # Free-run wavefront stepping: the production render
+                # path (fastest per frame, per-pixel sample counts) —
+                # per-sample step() costs composed-path latency per
+                # frame on TPU. `count` = minimum per-pixel spp.
+                count = renderer.step_freerun(freerun_iters)
                 img = renderer.film.tonemapped()
-
-            try:
-                cols, rows = os.get_terminal_size()
-            except OSError:
-                cols, rows = 80, 24
             frame = _render_ansi(img, cols, rows - 2)
             sys.stdout.write("\x1b[H" + frame)
             sys.stdout.write(

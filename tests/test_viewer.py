@@ -59,6 +59,22 @@ def test_parse_input_events():
     assert rest == b""
 
 
+def test_fit_resolution():
+    from rsoderh_raytracing_tpu.viewer.terminal import _fit_resolution
+
+    # terminal smaller than the requested max: follow the cell grid,
+    # quantized to 8 (one pixel per half-block slot; 2 rows reserved)
+    assert _fit_resolution(256, 144, 26, 14) == (24, 24)
+    assert _fit_resolution(256, 144, 100, 40) == (96, 72)
+    # terminal larger than the requested max: the request caps it
+    assert _fit_resolution(32, 24, 500, 200) == (32, 24)
+    # unsized PTY: keep the requested resolution
+    assert _fit_resolution(64, 48, 0, 0) == (64, 48)
+    assert _fit_resolution(64, 48, -1, 2) == (64, 48)
+    # tiny but sized terminals floor at 16
+    assert _fit_resolution(256, 144, 5, 4) == (16, 16)
+
+
 def test_viewer_non_tty_refuses(default_scene, capsys):
     from rsoderh_raytracing_tpu.scene.camera import KeyboardLayout
     from rsoderh_raytracing_tpu.viewer.terminal import run_viewer
@@ -163,6 +179,95 @@ def test_viewer_pty_end_to_end(assets_dir):
     states = re.findall(rb"for use with --state[^\n]*\n\s*(\S+)", out)
     assert len(states) >= 2, f"expected two state prints: {out[-400:]!r}"
     assert states[0] != states[1], "mouse swipe did not move the camera"
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="needs pty")
+def test_viewer_pty_resize(assets_dir):
+    """Terminal resize re-targets the render resolution and resets the
+    film (the reference's Resized contract, src/app.rs:120 ->
+    src/state.rs:651-700): start on a small PTY, watch the status line
+    report the fitted resolution, enlarge the PTY window, and watch the
+    resolution follow (accumulation restarts, spp counter included)."""
+    import fcntl
+    import pty as pty_mod
+    import struct
+    import subprocess
+    import termios as termios_mod
+
+    def set_winsize(fd, rows, cols):
+        fcntl.ioctl(
+            fd,
+            termios_mod.TIOCSWINSZ,
+            struct.pack("HHHH", rows, cols, 0, 0),
+        )
+
+    master, slave = pty_mod.openpty()
+    set_winsize(master, 14, 26)  # fits (24, 24) under a 32x24 request
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "rsoderh_raytracing_tpu.cli",
+            "--scene",
+            os.path.join(assets_dir, "scenes", "default.toml"),
+            "--view",
+            "--resolution",
+            "32x24",
+        ],
+        stdin=slave,
+        stdout=slave,
+        stderr=slave,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+        close_fds=True,
+    )
+    os.close(slave)
+
+    out = b""
+    resized = sent_q = False
+    deadline = time.time() + 300
+    try:
+        while time.time() < deadline:
+            r, _, _ = select.select([master], [], [], 1.0)
+            if r:
+                try:
+                    out += os.read(master, 262144)
+                except OSError:
+                    break
+            if not resized and re.search(rb"24x24 spp=[1-9]", out):
+                # small-terminal frames accumulated; grow the window
+                set_winsize(master, 40, 100)
+                resized = True
+            if resized and not sent_q and re.search(
+                rb"32x24 spp=[1-9]", out
+            ):
+                os.write(master, b"q")
+                sent_q = True
+            if sent_q and proc.poll() is not None:
+                break
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        os.close(master)
+
+    assert re.search(rb"24x24 spp=[1-9]", out), (
+        f"small-terminal fitted resolution missing: {out[-400:]!r}"
+    )
+    assert re.search(rb"32x24 spp=[1-9]", out), (
+        f"post-resize resolution missing: {out[-400:]!r}"
+    )
+    # Film reset on resize: the first spp reported at the new resolution
+    # must restart low even though the small-res film had accumulated.
+    first_new = re.search(rb"32x24 spp=(\d+)", out)
+    small_spps = [
+        int(m) for m in re.findall(rb"24x24 spp=(\d+)", out)
+    ]
+    assert first_new and int(first_new.group(1)) <= max(small_spps)
 
 
 def test_top_level_view_api(default_scene):
