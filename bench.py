@@ -51,10 +51,26 @@ def run_bench() -> int:
 
     root = os.path.dirname(os.path.abspath(__file__))
     scene_name = os.environ.get("BENCH_SCENE", "house")  # house | suzanne | default
+    if scene_name == "suzanne_xhi" and not os.path.exists(
+        os.path.join(root, "assets", "suzanne_xhi.obj")
+    ):
+        # 247,808-triangle mesh: generated deterministically, not
+        # committed (17 MB) — see scripts/subdivide_obj.py.
+        import subprocess as _sp
+
+        _sp.run(
+            [sys.executable, os.path.join(root, "scripts", "subdivide_obj.py"),
+             "4"],
+            check=True,
+        )
     scene = load_scene(
         os.path.join(root, "assets", "scenes", f"{scene_name}.toml")
     )
-    ds = build_device_scene(scene)
+    # BENCH_INTERSECTOR=bvh: flat-BVH lockstep traversal (composed XLA
+    # path; ops/bvh_traverse.py) instead of the dense/chunked sweeps —
+    # the VERDICT round-3 #2a crossover experiment for large meshes.
+    intersector = os.environ.get("BENCH_INTERSECTOR", "sweep")
+    ds = build_device_scene(scene, with_bvh=intersector == "bvh")
     env = device_environment(
         Environment.from_texture("bench_sky", procedural_sky(2048, 1024))
     )
@@ -87,10 +103,16 @@ def run_bench() -> int:
         "suzanne": "128",
         "spheres": "128",  # 1000 spheres = 16 sphere chunks (suzanne-class)
         "suzanne_hi": "16",
+        "suzanne_xhi": "2",  # 3,872 chunks: keep a call under the RPC deadline
     }.get(scene_name, "64")
     if mode == "sync":
         default_iters = {"suzanne_hi": "4"}.get(scene_name, "32")
     iterations = int(os.environ.get("BENCH_ITERS", default_iters))
+
+    # BENCH_COMPACT=K enables periodic lane compaction every K free-run
+    # iterations on the big-scene kernel path (render/wavefront.py) —
+    # bit-transparent, throughput-only.
+    compact_every = int(os.environ.get("BENCH_COMPACT", "0"))
 
     def render_step(base_counts):
         if mode == "sync":
@@ -101,6 +123,7 @@ def run_bench() -> int:
         return render_freerun(
             ds, env, cam, base_counts, resolution,
             np.uint32(iterations), max_bounces, with_stats=True,
+            compact_every=compact_every,
         )
 
     # --- timed free-run wavefront renders ---------------------------------

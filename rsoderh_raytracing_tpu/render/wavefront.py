@@ -28,6 +28,7 @@ Returns the SUM of `spp` samples per pixel in one jitted while_loop.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -93,9 +94,20 @@ def render_wavefront(
     return image
 
 
+def _compact_every_default() -> int:
+    """RT_COMPACT_EVERY resolved at trace time. Like every RT_ knob the
+    env var needs a fresh process (jit caches don't key on it); tests
+    and benchmarks pass `compact_every` explicitly instead."""
+    import os
+
+    return int(os.environ.get("RT_COMPACT_EVERY", "0"))
+
+
 @partial(
     jax.jit,
-    static_argnames=("resolution", "max_bounces", "with_stats"),
+    static_argnames=(
+        "resolution", "max_bounces", "with_stats", "compact_every"
+    ),
 )
 def render_freerun(
     scene: DeviceScene,
@@ -106,6 +118,7 @@ def render_freerun(
     iterations,
     max_bounces: int = MAX_BOUNCES,
     with_stats: bool = False,
+    compact_every: int | None = None,
 ):
     """Iteration-budget rendering: every lane stays busy for `iterations`
     path segments, completing a VARIABLE number of samples per pixel
@@ -128,6 +141,7 @@ def render_freerun(
         jnp.uint32(0xFFFFFFFF),  # no sample quota
         iterations,
         max_bounces,
+        compact_every=compact_every,
     )
     if with_stats:
         return image, counts, stats
@@ -312,6 +326,7 @@ def _wavefront_loop(
     spp,
     iteration_budget,
     max_bounces: int = MAX_BOUNCES,
+    compact_every: int | None = None,
 ):
     width, height = resolution
     n = width * height
@@ -341,6 +356,7 @@ def _wavefront_loop(
         spp,
         iteration_budget,
         max_bounces,
+        compact_every=compact_every,
     )
     return from_lanes(img), from_lanes(counts), stats
 
@@ -358,6 +374,7 @@ def wavefront_loop_custom(
     spp,
     iteration_budget,
     max_bounces: int = MAX_BOUNCES,
+    compact_every: int | None = None,
 ):
     """Core regeneration loop over an explicit lane set.
 
@@ -380,6 +397,7 @@ def wavefront_loop_custom(
         return _kernel_loop(
             scene, env, camera, pixel_index, pixel_x, pixel_y, resolution,
             base_sample, sample_map, spp, iteration_budget, max_bounces,
+            compact_every=compact_every,
         )
 
     if (
@@ -617,6 +635,7 @@ def _kernel_loop(
     spp,
     iteration_budget,
     max_bounces,
+    compact_every: int | None = None,
 ):
     """The two-Pallas-kernel body (ops/pallas_wavefront.py): XLA keeps
     only the alias/quad gathers and the atan2/asin uv math. Identical
@@ -627,11 +646,27 @@ def _kernel_loop(
     kernel for the chunked closest/occlusion sweep kernels plus XLA
     winner-row takes, feeding one mega-shade kernel
     (pallas_wavefront.big_shade_call) that holds every elementwise step —
-    normals, materials, NEE shade, GGX sample, MIS, film, regeneration."""
+    normals, materials, NEE shade, GGX sample, MIS, film, regeneration.
+
+    compact_every=K > 0 (big-scene path only): every K iterations the
+    LANES are re-sorted by (dead-last, Morton cell of ray origin,
+    octahedral direction bin) so each 64x128 sweep tile holds rays with
+    a compact spatial footprint — the per-tile chunk culls / shortlists
+    then skip most chunk steps even mid-free-run, where bounce
+    desynchronization otherwise scatters live rays across the whole
+    scene. Pure lane PERMUTATION: every lane carries its full state
+    (pixel identity, RNG stream, path, film slot), so per-pixel results
+    are bitwise identical to compact_every=0 (tested); only which lanes
+    share a tile — and therefore which chunks get culled — changes.
+    Amortized cost is one u32 argsort + one packed row gather per K
+    iterations (round-2 measured the sort at 38 ms @ 4.2M lanes)."""
     from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
     from rsoderh_raytracing_tpu.ops import pallas_wavefront as pwf
 
     use_big = pint.chunked_trace_supported(scene)
+    if compact_every is None:
+        compact_every = _compact_every_default()
+    do_compact = use_big and compact_every > 0
     # Loop-invariant: XLA hoists the table build out of the while_loop.
     wtable = pwf.winner_table(scene) if use_big else None
 
@@ -703,11 +738,140 @@ def _kernel_loop(
     pixy_t = tile(pixel_y)
     base_t = tile(base_sample)
 
+    if do_compact:
+        # Lane identity joins the carry so a permutation moves the whole
+        # lane: pixel ids/coords (in-kernel RNG seeds + regen), base
+        # sample, and `home` — the ORIGINAL lane slot, used to scatter
+        # film/counts back to lane order at the end (padding lanes get
+        # home == n_pad and are dropped by the OOB-scatter).
+        carry0.update(
+            pixidx=pixidx_t,
+            pixx=pixx_t,
+            pixy=pixy_t,
+            base=base_t,
+            home=tile(jnp.arange(n, dtype=jnp.uint32), n_pad),
+        )
+        # Scene-extent grid for the Morton origin cells (loop-invariant;
+        # XLA hoists). Planes are unbounded — the grid covers the
+        # chunk-swept geometry (triangles + spheres) plus the camera.
+        tv = scene.tri_valid[:, None]
+        sv = scene.sph_valid[:, None]
+        big = jnp.float32(3.0e38)
+        pts_lo = [
+            jnp.where(tv, scene.tri_a, big),
+            jnp.where(tv, scene.tri_a + scene.tri_edge0, big),
+            jnp.where(tv, scene.tri_a + scene.tri_edge1, big),
+            jnp.where(
+                sv, scene.sph_pos - scene.sph_radius[:, None], big
+            ),
+            camera["pos"].reshape(1, 3),
+        ]
+        pts_hi = [
+            jnp.where(tv, scene.tri_a, -big),
+            jnp.where(tv, scene.tri_a + scene.tri_edge0, -big),
+            jnp.where(tv, scene.tri_a + scene.tri_edge1, -big),
+            jnp.where(
+                sv, scene.sph_pos + scene.sph_radius[:, None], -big
+            ),
+            camera["pos"].reshape(1, 3),
+        ]
+        grid_lo = jnp.concatenate(pts_lo).min(axis=0)
+        grid_hi = jnp.concatenate(pts_hi).max(axis=0)
+        grid_scale = 32.0 / jnp.maximum(grid_hi - grid_lo, 1e-6)
+
+        def _part1by2(v):
+            # spread the low bits to every 3rd position (u32, 10-bit-safe)
+            v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+            v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+            v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+            v = (v | (v << 2)) & jnp.uint32(0x09249249)
+            return v
+
+        def _compact_key(c):
+            """(n_pad,) u32 sort key: live lanes by morton15(origin) <<7
+            | octa7(direction); dead/pad lanes last (their relative
+            order is irrelevant — whole-dead tiles skip every chunk via
+            the live-mask cull)."""
+            def flat(name):
+                return c[name].reshape(-1)
+
+            cell = [
+                # clip in FLOAT first: plane hit points can sit far
+                # outside the tri/sphere grid, and a negative float ->
+                # uint cast is undefined
+                jnp.clip(
+                    (flat(k) - grid_lo[i]) * grid_scale[i], 0.0, 31.0
+                ).astype(jnp.uint32)
+                for i, k in enumerate(("ro0", "ro1", "ro2"))
+            ]
+            morton = (
+                _part1by2(cell[0])
+                | (_part1by2(cell[1]) << 1)
+                | (_part1by2(cell[2]) << 2)
+            )
+            dx, dy, dz = flat("rd0"), flat("rd1"), flat("rd2")
+            s = jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz)
+            px = dx / s
+            pz = dz / s
+            fold = dy < 0.0
+            pxf = jnp.where(
+                fold, (1.0 - jnp.abs(pz)) * jnp.sign(px), px
+            )
+            pzf = jnp.where(
+                fold, (1.0 - jnp.abs(px)) * jnp.sign(pz), pz
+            )
+            ub = jnp.clip((pxf * 0.5 + 0.5) * 8.0, 0.0, 7.0).astype(
+                jnp.uint32
+            )
+            vb = jnp.clip((pzf * 0.5 + 0.5) * 8.0, 0.0, 7.0).astype(
+                jnp.uint32
+            )
+            octa = (ub << 3) | vb | (fold.astype(jnp.uint32) << 6)
+            key = (morton << jnp.uint32(7)) | octa
+            return jnp.where(
+                flat("in_path") != 0, key, jnp.uint32(0xFFFFFFFF)
+            )
+
+        _CARRY_KEYS = sorted(carry0.keys())
+
+        def _permute_carry(c):
+            order = jnp.argsort(_compact_key(c))
+            # ONE wide-row gather instead of ~25 narrow ones (takes are
+            # per-op bound — PERFORMANCE.md): bitcast everything to u32,
+            # pack columns, permute rows, unpack. Bit-exact round trip.
+            cols = []
+            for k in _CARRY_KEYS:
+                v = c[k].reshape(-1)
+                if v.dtype != jnp.uint32:
+                    v = jax.lax.bitcast_convert_type(v, jnp.uint32)
+                cols.append(v)
+            packed = jnp.take(jnp.stack(cols, axis=1), order, axis=0)
+            out = {}
+            for i, k in enumerate(_CARRY_KEYS):
+                v = packed[:, i]
+                if c[k].dtype != jnp.uint32:
+                    v = jax.lax.bitcast_convert_type(v, c[k].dtype)
+                out[k] = v.reshape(c[k].shape)
+            return out
+
     def cond(lc):
         return jnp.any(lc["carry"]["in_path"] != 0)
 
     def body(lc):
         c = lc["carry"]
+        if do_compact:
+            c = jax.lax.cond(
+                (lc["it"] % jnp.uint32(compact_every) == 0)
+                & (lc["it"] > 0),
+                _permute_carry,
+                lambda x: x,
+                c,
+            )
+            pix_idx, pix_x, pix_y, base = (
+                c["pixidx"], c["pixx"], c["pixy"], c["base"]
+            )
+        else:
+            pix_idx, pix_x, pix_y, base = pixidx_t, pixx_t, pixy_t, base_t
         # XLA: NEE alias draw + uv/direction math (gather + atan2/asin).
         state, _, nee_uv, nee_pmf = envmap.sample_alias_index(
             c["state"], env
@@ -739,6 +903,13 @@ def _kernel_loop(
             # native 64-sublane blocks when the lane count allows (fewer
             # grid steps / window DMAs).
             sub = pint.SUBLANES if rows % pint.SUBLANES == 0 else pwf.SUBLANES
+            # RT_SWEEP_SUBLANES: experiment knob (VERDICT round 3 #2c) —
+            # smaller ray blocks mean tighter per-tile frusta for the
+            # chunk culls/shortlists at more per-step overhead. Fresh
+            # process required (trace-time constant, like every RT_ knob).
+            _sub_env = int(os.environ.get("RT_SWEEP_SUBLANES", "0"))
+            if _sub_env and rows % _sub_env == 0:
+                sub = _sub_env
             ro_t = (c["ro0"], c["ro1"], c["ro2"])
             rd_t = (c["rd0"], c["rd1"], c["rd2"])
             # Dead lanes (finished pixels / drained budget) never have
@@ -784,7 +955,7 @@ def _kernel_loop(
                 scene, env_w, env_h, width, height, max_bounces,
                 (qw[..., 0], qw[..., 1], qw[..., 2], qw[..., 3]),
                 tr, slots, nd_t, state, fu, fv, nee_pmf, c,
-                pixidx_t, pixx_t, pixy_t, base_t, scal, iscal,
+                pix_idx, pix_x, pix_y, base, scal, iscal,
             )
         else:
             tr = pwf.trace_call(
@@ -800,8 +971,20 @@ def _kernel_loop(
             new_carry, act, hitm = pwf.shade_call(
                 env_w, env_h, width, height, max_bounces,
                 (qw[..., 0], qw[..., 1], qw[..., 2], qw[..., 3]),
-                tr, nee_pmf, c, pixidx_t, pixx_t, pixy_t, base_t,
+                tr, nee_pmf, c, pix_idx, pix_x, pix_y, base,
                 scal, iscal,
+            )
+        if do_compact:
+            # The shade kernels build the next carry from the path state
+            # only; the lane-identity columns ride along unchanged (in
+            # this iteration's — possibly permuted — order).
+            new_carry = dict(
+                new_carry,
+                pixidx=pix_idx,
+                pixx=pix_x,
+                pixy=pix_y,
+                base=base,
+                home=c["home"],
             )
         return dict(
             carry=new_carry,
@@ -812,6 +995,35 @@ def _kernel_loop(
 
     final = jax.lax.while_loop(cond, body, loop0)
     c = final["carry"]
+    if do_compact:
+        # Lanes ended wherever the last permutation left them; scatter
+        # each lane's film/counts back to its ORIGINAL slot. Padding
+        # lanes carry home == n_pad (out of range -> dropped).
+        home = c["home"].reshape(-1)
+        film_flat = jnp.stack(
+            [
+                c["film0"].reshape(-1),
+                c["film1"].reshape(-1),
+                c["film2"].reshape(-1),
+            ],
+            axis=-1,
+        )
+        film = (
+            jnp.zeros((n_pad, 3), jnp.float32)
+            .at[home]
+            .set(film_flat, mode="drop")[:n]
+        )
+        counts = (
+            jnp.zeros((n_pad,), jnp.uint32)
+            .at[home]
+            .set(c["sample"].reshape(-1), mode="drop")[:n]
+        )
+        stats = {
+            "closest_rays": final["closest"],
+            "shadow_rays": final["shadow"],
+            "iterations": final["it"],
+        }
+        return film, counts, stats
     film = jnp.stack(
         [
             c["film0"].reshape(-1)[:n],

@@ -1,15 +1,17 @@
 #!/usr/bin/env python
-"""Generate assets/suzanne_hi.obj: midpoint-subdivided suzanne.
+"""Generate midpoint-subdivided suzanne assets.
 
 Each subdivision level splits every triangle into 4 at welded edge
 midpoints (positions averaged, baked vertex normals averaged and
 renormalized — the OBJ contract from src/mesh.rs:60-64 requires
-normals). Two levels take suzanne's 968 triangles to 15,488 — the
->10k-triangle benchmark scene for the chunked kernel path's lifted
-ceiling (ops/pallas_intersect.py MAX_CHUNKED_TRIS).
+normals). Two levels take suzanne's 968 triangles to 15,488
+(assets/suzanne_hi.obj, committed); four levels to 247,808
+(assets/suzanne_xhi.obj — the past-the-old-65,536-ceiling benchmark
+for ops/pallas_intersect.py MAX_CHUNKED_TRIS, generated on demand: too
+large to commit).
 
 Deterministic: same input -> same output bytes. Run from the repo root:
-  python scripts/subdivide_obj.py [levels]
+  python scripts/subdivide_obj.py [levels] [output.obj]
 """
 
 from __future__ import annotations
@@ -106,7 +108,12 @@ def main() -> int:
     verts, norms, faces = load_obj(os.path.join(ROOT, "assets", "suzanne.obj"))
     for _ in range(levels):
         verts, norms, faces = subdivide(verts, norms, faces)
-    out = os.path.join(ROOT, "assets", "suzanne_hi.obj")
+    default_out = "suzanne_hi.obj" if levels <= 2 else "suzanne_xhi.obj"
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(ROOT, "assets", default_out)
+    )
     write_obj(
         out,
         verts,

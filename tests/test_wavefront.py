@@ -388,3 +388,47 @@ def test_spp_sync_resumes_from_counts(test_scene, tiny_env):
     )
     # counts are per-call completions (render_freerun semantics)
     np.testing.assert_array_equal(np.asarray(b_counts), 2)
+
+
+def test_freerun_compaction_bit_transparent(
+    monkeypatch, tiny_env, big_tri_scene
+):
+    """Periodic lane compaction (RT_COMPACT_EVERY / compact_every) is a
+    pure lane PERMUTATION: every lane carries its whole state (pixel
+    identity, RNG stream, film slot), so per-pixel film and counts must
+    be bitwise identical with and without it — only which lanes share a
+    sweep tile (and therefore which chunk steps the culls skip) changes.
+    Interpret mode on the chunked kernel path, enough iterations that
+    several compactions fire mid-flight."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect, pallas_wavefront
+    from rsoderh_raytracing_tpu.render.integrator import camera_pytree
+    from rsoderh_raytracing_tpu.render.wavefront import render_freerun
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    ds = build_device_scene(big_tri_scene, pad_to=1)
+    cam = camera_pytree(big_tri_scene.camera)
+    size = (16, 16)
+
+    monkeypatch.setenv("RT_PALLAS_INTERPRET", "1")
+    assert pallas_intersect.chunked_trace_supported(ds)
+    assert pallas_wavefront.supported(ds)
+
+    render_freerun.clear_cache()
+    base_img, base_counts = render_freerun(
+        ds, tiny_env, cam, np.uint32(0), size, np.uint32(9),
+        compact_every=0,
+    )
+    compact_img, compact_counts = render_freerun(
+        ds, tiny_env, cam, np.uint32(0), size, np.uint32(9),
+        compact_every=2,
+    )
+    render_freerun.clear_cache()
+
+    np.testing.assert_array_equal(
+        np.asarray(compact_counts), np.asarray(base_counts)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(compact_img), np.asarray(base_img)
+    )
