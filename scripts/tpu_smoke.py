@@ -273,6 +273,31 @@ def main() -> int:
             flipped_pixel_frac=round(float(flip.mean()), 6),
         )
 
+    # 5. periodic lane compaction is output-transparent (round 4) ----------
+    # compact_every permutes LANES only; per-pixel film/counts must match
+    # the unsorted run. The two runs are different compiled PROGRAMS
+    # (the compaction cond/permute changes the while-loop body), so on
+    # hardware XLA may contract the glue differently — bitwise is
+    # expected (the per-lane math lives in the kernels, bit-identical
+    # code), but rare class-4 ulp flips are legal; record the fraction.
+    img_c, cnt_c = render_freerun(
+        suz, env, suz_cam, np.uint32(0), (size, size), np.uint32(8),
+        compact_every=4,
+    )
+    img_n, cnt_n = render_freerun(
+        suz, env, suz_cam, np.uint32(0), (size, size), np.uint32(8),
+        compact_every=0,
+    )
+    a, b = np.asarray(img_c), np.asarray(img_n)
+    eq = np.abs(a - b).max(-1) <= 1e-5
+    counts_eq = bool((np.asarray(cnt_c) == np.asarray(cnt_n)).all())
+    failures += record(
+        "freerun compaction transparent (suzanne, K=4)",
+        eq.mean() > 0.999 and counts_eq,
+        pixels_bit_equal_frac=round(float(eq.mean()), 6),
+        counts_equal=counts_eq,
+    )
+
     print("smoke:", "PASS" if failures == 0 else f"{failures} FAILURES")
     if args.json:
         payload = {
