@@ -133,11 +133,16 @@ class Renderer:
         self.film.add_samples(summed, spp)
         return self.film.sample_count
 
-    def step_freerun(self, iterations: int) -> int:
+    def step_freerun(
+        self, iterations: int, compact_every: int | None = None
+    ) -> int:
         """Run the iteration-budget wavefront: every lane stays busy for
         `iterations` path segments, yielding a variable per-pixel sample
         count (best throughput; see render/wavefront.py:render_freerun).
-        Returns the minimum per-pixel sample count."""
+        compact_every=K re-sorts lanes spatially every K iterations on
+        the big-scene kernel path (bit-transparent; None reads
+        RT_COMPACT_EVERY, default off). Returns the minimum per-pixel
+        sample count."""
         from rsoderh_raytracing_tpu.render.wavefront import render_freerun
 
         state_hash = self._state_hash()
@@ -154,6 +159,7 @@ class Renderer:
             np.uint32(iterations),
             self.max_bounces,
             with_stats=True,
+            compact_every=compact_every,
         )
         self.film.add_freerun(summed, counts)
         # Observability: rays traced in this step (SURVEY.md section 5's
