@@ -185,10 +185,23 @@ def run_with_retry(child_cmd, attempts, backoff_s, *, log=None):
     log = log or (lambda msg: print(msg, file=sys.stderr, flush=True))
     # A downed tunnel can HANG backend init rather than fail it (seen
     # live: jax.devices() stuck >9 min with no error) — bound each
-    # attempt so a hang is just another retryable failure.
+    # attempt so a hang is just another retryable failure, and bound the
+    # WHOLE retry budget so the wrapper always emits its JSON before an
+    # outer driver deadline would kill it silently.
     attempt_timeout = float(os.environ.get("RT_BENCH_TIMEOUT_S", "2400"))
+    total_budget = float(os.environ.get("RT_BENCH_TOTAL_S", "3600"))
+    deadline = time.monotonic() + total_budget
     errors = []
     for attempt in range(1, attempts + 1):
+        remaining = deadline - time.monotonic()
+        if attempt > 1 and remaining < 60:
+            errors.append(
+                f"total budget ({total_budget:.0f}s) exhausted before "
+                f"attempt {attempt}"
+            )
+            log(errors[-1])
+            break
+        attempt_timeout = min(attempt_timeout, max(remaining, 60))
         try:
             proc = subprocess.run(
                 child_cmd, capture_output=True, text=True,
@@ -233,7 +246,7 @@ def run_with_retry(child_cmd, attempts, backoff_s, *, log=None):
         "unit": "Mrays/s",
         "vs_baseline": 0.0,
         "error": errors[-1] if errors else "unknown",
-        "attempts": attempts,
+        "attempts": len(errors),
         "attempt_errors": errors,
     }
     return failure, 1

@@ -101,6 +101,19 @@ def test_hanging_child_times_out(bench, monkeypatch):
     assert len(result["attempt_errors"]) == 2
 
 
+def test_total_budget_stops_retries(bench, monkeypatch):
+    # The whole retry budget is bounded so the wrapper emits its JSON
+    # before an outer driver deadline kills it silently.
+    monkeypatch.setenv("RT_BENCH_TOTAL_S", "1")
+    result, rc = bench.run_with_retry(
+        _py("import time; time.sleep(2); raise RuntimeError('x')"),
+        attempts=5, backoff_s=0, log=lambda m: None,
+    )
+    assert rc == 1
+    assert result["attempts"] < 5
+    assert any("budget" in e for e in result["attempt_errors"])
+
+
 def test_child_env_flag_set(bench):
     # The wrapper must mark the child so it runs the benchmark in-process
     # instead of recursing into another retry wrapper.
