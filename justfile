@@ -24,8 +24,16 @@ bench scene="house":
     BENCH_SCENE={{scene}} python bench.py
 
 # TPU-only parity checks + the per-round JSON artifact.
-smoke round="r03":
+smoke round="r04":
     python scripts/tpu_smoke.py --json docs/tpu_smoke_{{round}}.json
+
+# Viewer frame rate (converge + moving) at the default viewer config.
+viewer-fps scene="default":
+    python scripts/viewer_fps.py {{scene}}
+
+# Resumable round-4 large-mesh experiment sweep (TPU).
+sweep log="/tmp/round4_sweep.jsonl":
+    python scripts/round4_sweep.py {{log}}
 
 # Compile-check the driver entry points.
 graft-check:
