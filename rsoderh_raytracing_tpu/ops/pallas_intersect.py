@@ -45,17 +45,21 @@ MAX_UNROLL_PRIMS = 192  # unrolled loop budget (house: 72, default: 40)
 MAX_LOOP_PRIMS = 2048  # fori_loop + dynamic SMEM reads (suzanne: 976)
 # Chunked-grid ceiling: the only per-scene SMEM resident that grows with
 # triangle count is the (n_chunks, 6) chunk-AABB table — 24 B/chunk, so
-# 65536 triangles (1024 chunks) cost 24 KB of the 1 MB SMEM budget; the
-# per-chunk constant windows are streamed and size-invariant. Scenes
-# beyond this fall (loudly — see render/wavefront.py) to the composed
-# XLA sweep.
-MAX_CHUNKED_TRIS = 65536
+# 262144 triangles (4096 chunks) cost 96 KB of the 1 MB SMEM budget; the
+# per-chunk constant windows are streamed and size-invariant. Round 3
+# set 65536 conservatively; round 4 raised it on that SMEM math plus
+# interpret-mode routing/parity coverage, with the 247,808-triangle
+# suzanne_xhi asset (3,872 chunks) staged for the hardware
+# compile+measure pass — PERFORMANCE.md records the measured O(P) cost
+# at that scale once the sweep runs. Scenes beyond this fall (loudly —
+# see render/wavefront.py) to the composed XLA sweep.
+MAX_CHUNKED_TRIS = 262144
 # Spheres stream as chunk windows too (same grid, same AABB culls) when
 # the sphere+plane unroll no longer fits the per-step budget — the
 # reference handles any sphere count through its BVH (src/bvh.rs:13-28);
 # here many-sphere scenes ride the same streamed-window machinery as
 # many-triangle ones. Same SMEM argument as MAX_CHUNKED_TRIS.
-MAX_CHUNKED_SPHERES = 65536
+MAX_CHUNKED_SPHERES = 262144
 
 INF = 3.0e38
 

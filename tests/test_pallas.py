@@ -1041,3 +1041,59 @@ def test_sphere_cloud_path_boundaries(tiny_env):
             )
         )
     assert np.isfinite(img).all()
+
+
+def test_raised_chunked_ceiling_routing():
+    """Round-4 ceiling raise (VERDICT round-3 #3): scenes up to 262,144
+    padded triangle lanes route onto the chunked kernel path — the only
+    size-dependent SMEM resident is the 24 B/chunk bounds table (96 KB
+    at 4,096 chunks; the 247,808-triangle suzanne_xhi asset exercises
+    the raised range on hardware — PERFORMANCE.md). Past the
+    ceiling the routing predicate must refuse so the composed fallback
+    (and its RuntimeWarning) still trips. Routing-predicate level: the
+    kernels themselves are chunk-count-invariant (the grid dimension is
+    data-derived), so the existing interpret-mode parity tests cover
+    their semantics."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Scene,
+    )
+
+    def scene_with(n_tri):
+        rng_ = np.random.default_rng(3)
+        vertices = rng_.normal(size=(64 * 3, 3)).astype(np.float32)
+        normals = np.array([[0.0, 0.0, 1.0]], np.float32)
+        # reuse a small vertex pool; triangle COUNT is what matters here
+        tris = np.array(
+            [
+                [3 * (i % 64), 3 * (i % 64) + 1, 3 * (i % 64) + 2, 0, 0, 0, 0]
+                for i in range(n_tri)
+            ],
+            np.int32,
+        )
+        scene = Scene(
+            materials=[Material((0.5, 0.5, 0.5), 0.5, 0.0, (0, 0, 0))],
+            spheres=[],
+            planes=[],
+            meshes=PackedMeshes(
+                vertices=vertices, normals=normals, triangles=tris
+            ),
+            camera=Camera(pos=[0, 0, 1], yaw=0, pitch=0, fov_y=1.2),
+        )
+        return build_device_scene(scene, pad_to=8)
+
+    assert pallas_intersect.MAX_CHUNKED_TRIS == 262144
+
+    ds = scene_with(247808)  # suzanne_xhi's exact count
+    assert ds.tri_valid.shape[0] == 247808  # divides TRI_CHUNK exactly
+    assert pallas_intersect.chunked_trace_supported(ds)
+
+    over = scene_with(pallas_intersect.MAX_CHUNKED_TRIS + 1)
+    assert not pallas_intersect.chunked_trace_supported(over)
+    assert not pallas_intersect.sweep_supported(over)
