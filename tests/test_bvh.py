@@ -254,3 +254,67 @@ def test_bvh_miss_linear_fallback_adversarial():
     assert hit[64:128].all(), "downward rays must hit the flat plane"
     np.testing.assert_array_equal(ix_b[hit], ix_s[hit])
     np.testing.assert_allclose(t_b[hit], t_s[hit], rtol=1e-6)
+
+
+def test_bvh_past_chunked_ceiling_scale():
+    """BVH traversal parity at past-the-old-65,536 scale (the round-4
+    crossover measurement's correctness prerequisite): a 70,000-triangle
+    jittered shell builds, validates, stays within the 64-deep lockstep
+    stack (suzanne_xhi's 247,809 primitives measure depth 22), and
+    matches the brute-force dense sweep on mixed hit/miss rays."""
+    rng = np.random.default_rng(7)
+    n_tri = 70_000
+    # Triangles tangent to a radius-5 shell: dense spatial overlap at
+    # the poles exercises SAH splits harder than a uniform box fill.
+    u = rng.normal(size=(n_tri, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    centers = (5.0 * u).astype(np.float32)
+    e1 = np.cross(u, [0.0, 1.0, 0.001]).astype(np.float32) * 0.15
+    e2 = np.cross(u, e1).astype(np.float32) * 0.15
+    vertices = np.concatenate(
+        [centers, centers + e1, centers + e2], axis=0
+    ).astype(np.float32)
+    normals = np.array([[0.0, 0.0, 1.0]], np.float32)
+    idx = np.arange(n_tri)
+    tris = np.stack(
+        [idx, idx + n_tri, idx + 2 * n_tri] + [np.zeros(n_tri, np.int64)] * 4,
+        axis=-1,
+    ).astype(np.int32)
+
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.types import Material, PackedMeshes, Scene
+
+    scene = Scene(
+        materials=[Material((1, 1, 1), 1, 0, (0, 0, 0))],
+        spheres=[],
+        planes=[],
+        meshes=PackedMeshes(vertices=vertices, normals=normals, triangles=tris),
+        camera=Camera(pos=[0, 0, 0], yaw=0, pitch=0, fov_y=1.0),
+    )
+    bvh = build_bvh(scene)
+    mins, maxs, _, _ = scene_primitive_bounds(scene)
+    assert bvh.num_primitives == n_tri
+    validate_bvh(bvh, mins, maxs)
+    assert bvh.depth < 64
+
+    ds = build_device_scene(scene, with_bvh=True)
+    n = 256
+    # Half from the center outward (guaranteed hits), half from outside
+    # pointing away (misses + grazers).
+    ro = np.zeros((n, 3), np.float32)
+    ro[n // 2 :] = rng.uniform(8, 12, (n // 2, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    brute = intersect.closest_hit(ds, ro, rd)
+    t_bvh, slot = traverse_closest(ds, ds.bvh, ro, rd)
+    bvh_hit = np.asarray(slot) >= 0
+    brute_hit = np.asarray(brute.did_hit)
+    np.testing.assert_array_equal(bvh_hit, brute_hit)
+    assert bvh_hit[: n // 2].sum() > 16  # the shell really is hit
+    np.testing.assert_allclose(
+        np.asarray(t_bvh)[bvh_hit],
+        np.asarray(brute.distance)[brute_hit],
+        rtol=1e-4,
+        atol=1e-4,
+    )
