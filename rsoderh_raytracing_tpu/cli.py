@@ -64,9 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--spp", type=int, default=64)
     parser.add_argument(
         "--intersector",
-        choices=("sweep", "bvh"),
-        default="sweep",
-        help="sweep: dense vectorized primitive tests (fastest for"
+        choices=("auto", "sweep", "bvh"),
+        default="auto",
+        help="auto: dense sweeps / chunked kernels while any covers the"
+        " scene, flat-BVH traversal past every kernel ceiling."
+        " sweep: dense vectorized primitive tests (fastest for"
         " reference-scale scenes). bvh: flat-BVH traversal.",
     )
     parser.add_argument("--max-bounces", type=int, default=10)

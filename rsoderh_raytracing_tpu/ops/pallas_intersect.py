@@ -101,34 +101,59 @@ def _loop_enabled() -> bool:
     return os.environ.get("RT_PALLAS_LOOP") == "1"
 
 
-def _chunked_applicable(scene) -> bool:
-    """Big scenes use the chunked grid when their triangle lanes divide
-    into chunks and the unrolled-smalls step fits the budget — either
-    directly (spheres+planes unroll at chunk 0) or by streaming the
-    sphere lanes as chunk windows (_chunk_spheres)."""
-    small = scene.sph_radius.shape[0] + scene.pln_valid.shape[0]
-    n_tri = scene.tri_valid.shape[0]
+def _counts_chunked_applicable(n_sph: int, n_pln: int, n_tri: int) -> bool:
+    """Count-based core of _chunked_applicable: big scenes use the
+    chunked grid when their triangle lanes divide into chunks and the
+    unrolled-smalls step fits the budget — either directly
+    (spheres+planes unroll at chunk 0) or by streaming the sphere lanes
+    as chunk windows (_counts_chunk_spheres)."""
     if n_tri % TRI_CHUNK != 0 or n_tri > MAX_CHUNKED_TRIS:
         return False
-    if small + TRI_CHUNK <= MAX_UNROLL_PRIMS:
+    if n_sph + n_pln + TRI_CHUNK <= MAX_UNROLL_PRIMS:
         return n_tri > 0  # at least one window chunk for the grid
-    return _chunk_spheres(scene)
+    return _counts_chunk_spheres(n_sph, n_pln)
 
 
-def _chunk_spheres(scene) -> bool:
+def _counts_chunk_spheres(n_sph: int, n_pln: int) -> bool:
     """Sphere lanes stream as chunk windows (like triangles) when the
     sphere+plane unroll no longer fits the per-step budget. Planes stay
     unrolled at chunk 0 (authored scenes hold a handful of planes; a
     scene with >128 plane lanes still falls to the composed sweep,
     loudly)."""
-    n_sph = scene.sph_radius.shape[0]
-    n_pln = scene.pln_valid.shape[0]
     return (
         n_sph + n_pln + TRI_CHUNK > MAX_UNROLL_PRIMS
         and n_sph > 0
         and n_sph % TRI_CHUNK == 0
         and n_sph <= MAX_CHUNKED_SPHERES
         and n_pln + TRI_CHUNK <= MAX_UNROLL_PRIMS
+    )
+
+
+def counts_kernel_path(n_sph: int, n_pln: int, n_tri: int) -> bool:
+    """Whether ANY Pallas kernel path covers padded lane counts
+    (n_sph, n_pln, n_tri) — fused unroll or the chunked grid. A pure
+    scene-size predicate: ignores backend/env gates (pallas_enabled,
+    RT_DISABLE_*), so the host scene builder can use it to auto-route
+    past-ceiling scenes onto the composed flat-BVH traversal (the
+    reference handles any scene size through its per-thread BVH,
+    shader.wgsl:469-564; past our kernel ceilings the O(P) composed
+    dense sweep is hopeless at scale on every backend)."""
+    if n_sph + n_pln + n_tri <= MAX_UNROLL_PRIMS:
+        return True
+    return _counts_chunked_applicable(n_sph, n_pln, n_tri)
+
+
+def _chunked_applicable(scene) -> bool:
+    return _counts_chunked_applicable(
+        scene.sph_radius.shape[0],
+        scene.pln_valid.shape[0],
+        scene.tri_valid.shape[0],
+    )
+
+
+def _chunk_spheres(scene) -> bool:
+    return _counts_chunk_spheres(
+        scene.sph_radius.shape[0], scene.pln_valid.shape[0]
     )
 
 

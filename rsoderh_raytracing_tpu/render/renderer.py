@@ -37,19 +37,28 @@ class Renderer:
         height: int = 512,
         environments: Optional[EnvironmentMaps] = None,
         max_bounces: int = MAX_BOUNCES,
-        intersector: str = "sweep",
+        intersector: str = "auto",
     ):
-        """intersector: 'sweep' (dense vectorized tests — fastest for the
-        reference's scene sizes) or 'bvh' (flat-BVH traversal with the
-        reference's node ordering; for very large scenes)."""
+        """intersector: 'auto' (sweep/kernel paths while any covers the
+        scene, flat-BVH traversal past every kernel ceiling — see
+        scene/device.build_device_scene), 'sweep' (dense vectorized
+        tests — fastest for the reference's scene sizes), or 'bvh'
+        (flat-BVH traversal with the reference's node ordering)."""
         self.scene = scene
         self.width = width
         self.height = height
         self.max_bounces = max_bounces
-        if intersector not in ("sweep", "bvh"):
+        if intersector not in ("auto", "sweep", "bvh"):
             raise ValueError(f"unknown intersector '{intersector}'")
         self.device_scene = build_device_scene(
-            scene, with_bvh=intersector == "bvh"
+            scene,
+            with_bvh={"auto": "auto", "bvh": True, "sweep": False}[
+                intersector
+            ],
+        )
+        #: the routing decision actually taken ('sweep' or 'bvh')
+        self.intersector = (
+            "bvh" if self.device_scene.bvh is not None else "sweep"
         )
         self.environments = environments or load_default_environments()
         self.environment_index = 0

@@ -434,8 +434,9 @@ def wavefront_loop_custom(
             )
         warnings.warn(
             f"scene exceeds every Pallas kernel path ({reason}); "
-            "rendering on the composed XLA sweep, which is ~10x slower "
-            "at scale",
+            "rendering on the composed XLA dense sweep, which is O(P) "
+            "— build the scene with intersector='auto'/'bvh' "
+            "(flat-BVH traversal) for scenes at this scale",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -122,13 +122,19 @@ class DeviceScene:
 
 
 def build_device_scene(
-    scene: Scene, pad_to: int = 8, with_bvh: bool = False
+    scene: Scene, pad_to: int = 8, with_bvh: "bool | str" = False
 ) -> DeviceScene:
     """Flatten + pad a host Scene into a DeviceScene of jnp arrays.
 
     with_bvh=True additionally builds the flat SAH BVH (accel/bvh.py)
     and attaches it, selecting the BVH-guided traversal intersector
-    (ops/bvh_traverse.py) instead of the dense sweep."""
+    (ops/bvh_traverse.py) instead of the dense sweep. with_bvh="auto"
+    attaches it exactly when the padded lane counts exceed EVERY Pallas
+    kernel path (pallas_intersect.counts_kernel_path) — such scenes
+    would otherwise pay the O(P) composed dense sweep; the reference is
+    O(log P) at any scene size through its per-thread BVH
+    (shader.wgsl:469-564), and the composed flat-BVH traversal is this
+    framework's large-scene analog."""
     materials = scene.materials or []
     m = max(1, len(materials))
     mat_color = np.zeros((m, 3), np.float32)
@@ -208,6 +214,22 @@ def build_device_scene(
     # boundary scenes (few triangles + many spheres) riding the chunked
     # kernels without Morton-compact chunks (advisor round-3 finding).
     total_small = s_n + p_n + _round_up(len(tris), pad_to)
+
+    if with_bvh == "auto":
+        from rsoderh_raytracing_tpu.ops.pallas_intersect import (
+            counts_kernel_path,
+        )
+
+        # Probe the final triangle lane count under the tri_pad rule
+        # below, then attach a BVH exactly when no kernel path covers
+        # the padded counts (past-ceiling scenes: > MAX_CHUNKED_TRIS /
+        # MAX_CHUNKED_SPHERES triangle/sphere lanes, or plane unrolls
+        # that crowd out the chunk window).
+        t_probe = _round_up(
+            len(tris),
+            pad_to if total_small <= MAX_UNROLL_PRIMS else TRI_CHUNK,
+        )
+        with_bvh = not counts_kernel_path(s_n, p_n, t_probe)
     if (
         total_small > MAX_UNROLL_PRIMS
         and len(tris) > 0

@@ -161,7 +161,7 @@ def run_viewer(
     max_bounces: int = 10,
     max_fps: float = 30.0,
     environment_index: int = 0,
-    intersector: str = "sweep",
+    intersector: str = "auto",
     adaptive_resolution: bool = True,
     freerun_iters: int = 12,
 ) -> int:

@@ -1097,3 +1097,98 @@ def test_raised_chunked_ceiling_routing():
     over = scene_with(pallas_intersect.MAX_CHUNKED_TRIS + 1)
     assert not pallas_intersect.chunked_trace_supported(over)
     assert not pallas_intersect.sweep_supported(over)
+
+
+def test_auto_intersector_routing(monkeypatch, assets_dir, tiny_env):
+    """intersector='auto' (the Renderer/CLI default) rides the kernel
+    paths while any covers the scene, and attaches the flat BVH exactly
+    when the padded counts exceed EVERY kernel ceiling — past-ceiling
+    scenes previously paid the O(P) composed dense sweep unless the user
+    opted into 'bvh' by hand (the reference is O(log P) at any size
+    through its per-thread BVH, shader.wgsl:469-564)."""
+    import warnings as _warnings
+
+    import jax.numpy as jnp
+
+    from rsoderh_raytracing_tpu import load_scene
+    from rsoderh_raytracing_tpu.ops import pallas_intersect
+    from rsoderh_raytracing_tpu.render.integrator import camera_pytree
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+    from rsoderh_raytracing_tpu.render.wavefront import render_wavefront
+
+    # production gates: the opt-in fori_loop sweep (module fixture turns
+    # it on for the loop-variant tests) would cover the shrunk-ceiling
+    # scene below and mask the routing decision under test
+    monkeypatch.delenv("RT_PALLAS_LOOP", raising=False)
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Scene,
+    )
+
+    # Count-based predicate: fused unroll, chunked grid, past-ceiling.
+    ckp = pallas_intersect.counts_kernel_path
+    assert ckp(8, 8, 24)  # fused unroll
+    assert ckp(8, 8, 976 + 48)  # suzanne-shaped: chunked grid
+    assert ckp(0, 8, pallas_intersect.MAX_CHUNKED_TRIS)  # at the ceiling
+    assert not ckp(0, 8, pallas_intersect.MAX_CHUNKED_TRIS + 64)
+    assert ckp(1024, 8, 64)  # sphere cloud: sphere chunk windows
+    assert not ckp(1024, 8, 65)  # non-chunk-divisible triangle lanes
+    assert not ckp(8, 256, 64)  # plane unroll crowds out the window
+
+    # Kernel-path scene: auto leaves the BVH off.
+    scene = load_scene(os.path.join(assets_dir, "scenes", "suzanne.toml"))
+    ds_auto = build_device_scene(scene, with_bvh="auto")
+    assert ds_auto.bvh is None
+    assert pallas_intersect.sweep_supported(ds_auto)
+    r = Renderer(scene, width=8, height=8)
+    assert r.intersector == "sweep"
+    assert r.device_scene.bvh is None
+
+    # Past-ceiling scene (ceiling shrunk so the test stays small): auto
+    # attaches the BVH, the render runs the traversal path, and the
+    # dense-sweep cliff warning does NOT fire.
+    monkeypatch.setattr(pallas_intersect, "MAX_CHUNKED_TRIS", 256)
+    rng_ = np.random.default_rng(7)
+    centers = rng_.uniform(-2.0, 2.0, size=(512, 3)).astype(np.float32)
+    vertices = np.concatenate(
+        [
+            centers,
+            centers + np.float32([0.2, 0, 0]),
+            centers + np.float32([0, 0.2, 0]),
+        ],
+        axis=0,
+    ).astype(np.float32)
+    normals = np.array([[0.0, 0.0, 1.0]], np.float32)
+    idx = np.arange(512)
+    tris = np.stack(
+        [idx, idx + 512, idx + 1024] + [np.zeros(512, np.int64)] * 4,
+        axis=-1,
+    ).astype(np.int32)
+    big = Scene(
+        materials=[Material((0.5, 0.5, 0.5), 0.8, 0.0, (0, 0, 0))],
+        spheres=[],
+        planes=[],
+        meshes=PackedMeshes(
+            vertices=vertices, normals=normals, triangles=tris
+        ),
+        camera=Camera(pos=[0, 0, 6], yaw=0, pitch=0, fov_y=1.0),
+    )
+    ds_big = build_device_scene(big, with_bvh="auto")
+    assert ds_big.bvh is not None
+    # explicit 'sweep' still takes (and warns on) the dense fallback
+    ds_sweep = build_device_scene(big, with_bvh=False)
+    assert ds_sweep.bvh is None
+    assert not pallas_intersect.sweep_supported(ds_sweep)
+
+    cam = camera_pytree(big.camera)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        img = np.asarray(
+            render_wavefront(
+                ds_big, tiny_env, cam, jnp.uint32(0), (4, 4), 1, 2
+            )
+        )
+    assert np.isfinite(img).all()
