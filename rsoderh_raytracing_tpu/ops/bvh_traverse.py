@@ -43,6 +43,19 @@ class DeviceBVH:
     prim_type: Any  # (R,) 0/1/2
     prim_index: Any  # (R,)
     max_leaf: int = dataclasses.field(metadata={"static": True})
+    # Static per-type presence: lets _leaf_test skip whole primitive-test
+    # branches (and their gathers) for types the tree doesn't contain —
+    # a pure-mesh scene pays only the Moller-Trumbore lane. True defaults
+    # keep hand-built instances semantically identical (test all types).
+    has_spheres: bool = dataclasses.field(
+        default=True, metadata={"static": True}
+    )
+    has_planes: bool = dataclasses.field(
+        default=True, metadata={"static": True}
+    )
+    has_triangles: bool = dataclasses.field(
+        default=True, metadata={"static": True}
+    )
 
 
 def device_bvh(bvh: FlatBVH) -> DeviceBVH:
@@ -50,6 +63,9 @@ def device_bvh(bvh: FlatBVH) -> DeviceBVH:
     scene's primitive order — pair only with a DeviceScene built with
     with_bvh=True (build_device_scene Morton-reorders chunked-path
     scenes' triangles otherwise)."""
+    import numpy as np
+
+    ptypes = np.asarray(bvh.prim_type)
     return DeviceBVH(
         nodes_min=jnp.asarray(bvh.nodes_min),
         nodes_max=jnp.asarray(bvh.nodes_max),
@@ -59,6 +75,9 @@ def device_bvh(bvh: FlatBVH) -> DeviceBVH:
         prim_type=jnp.asarray(bvh.prim_type),
         prim_index=jnp.asarray(bvh.prim_index),
         max_leaf=int(bvh.node_count.max()),
+        has_spheres=bool((ptypes == 0).any()),
+        has_planes=bool((ptypes == 1).any()),
+        has_triangles=bool((ptypes == 2).any()),
     )
 
 
@@ -79,22 +98,26 @@ def _leaf_test(scene: DeviceScene, bvh: DeviceBVH, ro, rd, start, count):
         ptype = jnp.take(bvh.prim_type, slot)
         pidx = jnp.take(bvh.prim_index, slot)
 
-        # Evaluate all three primitive tests on gathered data; select.
-        s_pos = jnp.take(scene.sph_pos, pidx, axis=0)
-        s_rad = jnp.take(scene.sph_radius, pidx, axis=0)
-        t_s = _sphere_t(ro, rd, s_pos, s_rad)
-
-        p_pos = jnp.take(scene.pln_pos, pidx, axis=0)
-        p_nrm = jnp.take(scene.pln_normal, pidx, axis=0)
-        p_bcm = jnp.take(scene.pln_bcm, pidx, axis=0)
-        t_p = _plane_t(ro, rd, p_pos, p_nrm, p_bcm)
-
-        t_a = jnp.take(scene.tri_a, pidx, axis=0)
-        t_e0 = jnp.take(scene.tri_edge0, pidx, axis=0)
-        t_e1 = jnp.take(scene.tri_edge1, pidx, axis=0)
-        t_t = _triangle_t(ro, rd, t_a, t_e0, t_e1)
-
-        t = jnp.where(ptype == 0, t_s, jnp.where(ptype == 1, t_p, t_t))
+        # Evaluate the primitive tests for each type the tree CONTAINS
+        # (static — a pure-mesh BVH compiles only the triangle lane);
+        # select by the slot's type tag.
+        t = jnp.full((n,), INF)
+        if bvh.has_triangles:
+            t_a = jnp.take(scene.tri_a, pidx, axis=0)
+            t_e0 = jnp.take(scene.tri_edge0, pidx, axis=0)
+            t_e1 = jnp.take(scene.tri_edge1, pidx, axis=0)
+            t = jnp.where(ptype == 2, _triangle_t(ro, rd, t_a, t_e0, t_e1), t)
+        if bvh.has_planes:
+            p_pos = jnp.take(scene.pln_pos, pidx, axis=0)
+            p_nrm = jnp.take(scene.pln_normal, pidx, axis=0)
+            p_bcm = jnp.take(scene.pln_bcm, pidx, axis=0)
+            t = jnp.where(
+                ptype == 1, _plane_t(ro, rd, p_pos, p_nrm, p_bcm), t
+            )
+        if bvh.has_spheres:
+            s_pos = jnp.take(scene.sph_pos, pidx, axis=0)
+            s_rad = jnp.take(scene.sph_radius, pidx, axis=0)
+            t = jnp.where(ptype == 0, _sphere_t(ro, rd, s_pos, s_rad), t)
         t = jnp.where(in_leaf, t, INF)
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
@@ -157,8 +180,14 @@ def _triangle_t(ro, rd, a, e0, e1):
 def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
     """Closest (t, prim_slot) per ray via stack traversal.
 
-    Returns (t (N,), slot (N,) into bvh.prim_* or -1). Matches the node
-    visit order of shader.wgsl:487-557 per lane.
+    Returns (t (N,), slot (N,) into bvh.prim_* or -1). Visits a subset
+    of the reference's node order (shader.wgsl:487-557): boxes whose
+    slab entry time exceeds the lane's running best-t are skipped — the
+    reference re-tests them (its slab test has no t_max, SURVEY quirk
+    note), but a skipped box can only hold hits at t >= entry > best_t,
+    which the strict `<` winner update would discard anyway, so (t,
+    slot) results are bitwise identical while lockstep iterations drop
+    with every early hit.
     """
     n = ro.shape[0]
     rd_inv = 1.0 / rd
@@ -178,7 +207,8 @@ def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
 
         bmin = jnp.take(bvh.nodes_min, current, axis=0)
         bmax = jnp.take(bvh.nodes_max, current, axis=0)
-        hit_box = geo.ray_intersects_bounds(ro, rd_inv, bmin, bmax) & running
+        box_hit, t_entry = geo.ray_bounds_entry(ro, rd_inv, bmin, bmax)
+        hit_box = box_hit & (t_entry <= best_t) & running
 
         count = jnp.take(bvh.node_count, current)
         payload = jnp.take(bvh.node_payload, current)
@@ -236,3 +266,90 @@ def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
     state = (stack, stack_len, current, running, best_t, best_slot)
     state = jax.lax.while_loop(cond, body, state)
     return state[4], state[5]
+
+
+def traverse_any(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
+    """Occlusion walk: True where ANY primitive hits along the ray.
+
+    Same hit-predicate set as traverse_closest (so `traverse_any(...)
+    == traverse_closest(...)[1] >= 0`, tested), but a lane RETIRES at
+    its first hit instead of walking on for the closest winner — the
+    while_loop is lockstep (trip count = the slowest lane), and shadow
+    rays in lit regions typically hit within a few nodes, so early
+    retirement shortens the whole batch. Mirrors NEE's cast_ray_bvh-only
+    occlusion (shader.wgsl:1249): no linear fallback.
+    """
+    n = ro.shape[0]
+    rd_inv = 1.0 / rd
+
+    stack = jnp.zeros((n, TRAVERSAL_STACK_DEPTH), jnp.int32)
+    stack_len = jnp.zeros((n,), jnp.int32)
+    current = jnp.zeros((n,), jnp.int32)
+    running = jnp.ones((n,), bool)
+    occluded = jnp.zeros((n,), bool)
+
+    def cond(state):
+        return jnp.any(state[3])
+
+    def body(state):
+        stack, stack_len, current, running, occluded = state
+
+        bmin = jnp.take(bvh.nodes_min, current, axis=0)
+        bmax = jnp.take(bvh.nodes_max, current, axis=0)
+        hit_box = geo.ray_intersects_bounds(ro, rd_inv, bmin, bmax) & running
+
+        count = jnp.take(bvh.node_count, current)
+        payload = jnp.take(bvh.node_payload, current)
+        axis = jnp.take(bvh.node_axis, current)
+
+        is_leaf = hit_box & (count > 0)
+        is_interior = hit_box & (count == 0)
+
+        t, _ = _leaf_test(
+            scene,
+            bvh,
+            ro,
+            rd,
+            jnp.where(is_leaf, payload, 0),
+            jnp.where(is_leaf, count, 0),
+        )
+        found = is_leaf & (t < INF)
+        occluded = occluded | found
+
+        neg = (
+            jnp.take_along_axis(rd_inv, axis[:, None], axis=1).squeeze(1) < 0.0
+        )
+        near = jnp.where(neg, payload, current + 1)
+        far = jnp.where(neg, current + 1, payload)
+        push = is_interior
+        idx = jnp.clip(stack_len, 0, TRAVERSAL_STACK_DEPTH - 1)
+        stack = jnp.where(
+            push[:, None]
+            & (
+                jnp.arange(TRAVERSAL_STACK_DEPTH)[None, :] == idx[:, None]
+            ),
+            far[:, None],
+            stack,
+        )
+        stack_len = jnp.where(push, stack_len + 1, stack_len)
+
+        # found lanes retire outright (no pop — their stack is abandoned);
+        # everyone else follows traverse_closest's pop discipline.
+        need_pop = running & ~is_interior & ~found
+        can_pop = need_pop & (stack_len > 0)
+        new_len = jnp.where(can_pop, stack_len - 1, stack_len)
+        popped = jnp.take_along_axis(
+            stack, jnp.clip(new_len, 0, TRAVERSAL_STACK_DEPTH - 1)[:, None], axis=1
+        ).squeeze(1)
+
+        current = jnp.where(
+            is_interior, near, jnp.where(can_pop, popped, current)
+        )
+        running = running & ~found & (is_interior | can_pop)
+        stack_len = new_len
+
+        return stack, stack_len, current, running, occluded
+
+    state = (stack, stack_len, current, running, occluded)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[4]

@@ -267,6 +267,17 @@ def ray_intersects_bounds(ro, rd_inv, bounds_min, bounds_max):
 
     ro, rd_inv: (..., 3); bounds_*: (..., 3) broadcastable. Returns bool.
     """
+    hit, _ = ray_bounds_entry(ro, rd_inv, bounds_min, bounds_max)
+    return hit
+
+
+def ray_bounds_entry(ro, rd_inv, bounds_min, bounds_max):
+    """ray_intersects_bounds plus the slab ENTRY time t0 (max over axes,
+    clamped at 0; NaN axes ignored — identical semantics). t0 lower-
+    bounds the t of every hit inside the box, so a traversal holding a
+    best-t may skip boxes with t0 > best_t without changing its result
+    (strict `<` winner updates: a tied-at-entry box can only produce
+    non-winning ties). Returns (hit bool, t0)."""
     t_near = (bounds_min - ro) * rd_inv
     t_far = (bounds_max - ro) * rd_inv
     lo = jnp.minimum(t_near, t_far)
@@ -277,4 +288,4 @@ def ray_intersects_bounds(ro, rd_inv, bounds_min, bounds_max):
     # neutral elements of the max/min reductions.
     t0 = jnp.max(jnp.where(jnp.isnan(lo), 0.0, jnp.maximum(lo, 0.0)), axis=-1)
     t1 = jnp.min(jnp.where(jnp.isnan(hi), INF, hi), axis=-1)
-    return t0 <= t1
+    return t0 <= t1, t0

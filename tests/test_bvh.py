@@ -105,6 +105,39 @@ def test_traversal_random_sphere_cloud():
     )
 
 
+def test_traverse_any_equals_closest_hit_bool(house_scene, assets_dir):
+    """The early-exit occlusion walk returns exactly
+    traverse_closest(...)[1] >= 0 on mixed scenes (house: spheres +
+    planes + triangles in one tree) and pure-mesh trees (suzanne —
+    which also exercises the static leaf-type specialization: its BVH
+    compiles only the triangle test lane)."""
+    import os
+
+    from rsoderh_raytracing_tpu import load_scene
+    from rsoderh_raytracing_tpu.ops.bvh_traverse import traverse_any
+
+    suz = load_scene(os.path.join(assets_dir, "scenes", "suzanne.toml"))
+    for scene in (house_scene, suz):
+        ds = build_device_scene(scene)
+        bvh = device_bvh(build_bvh(scene))
+        rng = np.random.default_rng(11)
+        n = 512
+        ro = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+        rd = rng.normal(size=(n, 3)).astype(np.float32)
+        rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+        # axis-parallel + from-inside rays too
+        rd[:16] = 0.0
+        rd[0:8, 0] = 1.0
+        rd[8:16, 1] = -1.0
+        ro[16:24] = 0.0
+
+        _, slot = traverse_closest(ds, bvh, ro, rd)
+        occ = traverse_any(ds, bvh, ro, rd)
+        np.testing.assert_array_equal(
+            np.asarray(occ), np.asarray(slot) >= 0
+        )
+
+
 def test_deep_bvh_many_primitives(assets_dir):
     """Suzanne (968 tris): build + validate + spot-check traversal."""
     import os
