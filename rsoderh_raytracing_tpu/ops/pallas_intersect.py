@@ -713,10 +713,23 @@ def _use_shortlist(n_chunks: int, n_tiles: int) -> bool:
     )
 
 
-def chunk_shortlist(bounds, ray_comps, mask, sub):
+def chunk_shortlist(bounds, ray_comps, mask, sub, front_to_back=False):
     """(shortlist (T, C) i32, count (T,) i32): per ray-tile reachable
     chunks, reachable-first, padded with the last reachable entry (or 0)
     so padded grid steps revisit an already-fetched window.
+
+    front_to_back=True orders each tile's reachable chunks by a
+    conservative lower bound on their slab ENTRY time (nearest first)
+    instead of chunk-index order: early near-chunk sweeps tighten the
+    running best-t / occlusion state, so the later chunks' best-t
+    bounded culls and the whole-block `pl.when` sweep skips fire more
+    often. The occlusion kernel OR-accumulates, so its result is
+    bitwise order-independent and it always uses this; the closest
+    kernel's winner is order-dependent ONLY on exact cross-chunk
+    same-type t ties (sphere-vs-other ties are restored by the equal-t
+    override regardless of order), so there it is opt-in
+    (RT_SHORTLIST_F2B=1) until the TPU measurement justifies flipping
+    the default with an index tie-break.
 
     Conservative per-axis reachability: lanes' origins/directions are
     boxed per tile (mask-excluded lanes are neutral); an axis constrains
@@ -786,7 +799,34 @@ def chunk_shortlist(bounds, ray_comps, mask, sub):
     )  # (T, C)
 
     n_chunks = bounds.shape[0]
-    order = jnp.argsort(~reachable, axis=1, stable=True).astype(jnp.int32)
+    if front_to_back:
+        # Per-axis lower bound on any live lane's slab entry: on a
+        # single-sign axis the nearest lane starts at the origin box
+        # face closest to the chunk and moves at the box's max speed;
+        # mixed-sign axes (and box overlap) bound nothing (t >= 0).
+        num_pos = jnp.maximum(b_lo[None, :, :] - o_hi[:, None, :], 0.0)
+        num_neg = jnp.maximum(o_lo[:, None, :] - b_hi[:, None, :], 0.0)
+        den_pos = jnp.maximum(d_hi, 1e-30)[:, None, :]
+        den_neg = jnp.maximum(-d_lo, 1e-30)[:, None, :]
+        t_axis = jnp.where(
+            pos[:, None, :],
+            num_pos / den_pos,
+            jnp.where(neg[:, None, :], num_neg / den_neg, 0.0),
+        )
+        t_lb = jnp.max(t_axis, axis=2)  # (T, C)
+        # Reachable chunks MUST sort strictly before unreachable ones
+        # (only `count` entries are swept): clamp every reachable key
+        # below the unreachable sentinel, NaN/inf included (degenerate
+        # tiles — order is moot there, coverage is not).
+        t_lb = jnp.where(
+            jnp.isfinite(t_lb), jnp.minimum(t_lb, 1e37), 1e37
+        )
+        key = jnp.where(reachable, t_lb, INF)
+        order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    else:
+        order = jnp.argsort(~reachable, axis=1, stable=True).astype(
+            jnp.int32
+        )
     count = jnp.sum(reachable, axis=1).astype(jnp.int32)
     # pad with the last reachable entry so j >= count revisits it
     last = jnp.take_along_axis(
@@ -1132,7 +1172,10 @@ def _chunked_tiles_call(
     # map signature) and the two prefetched shortlist arguments.
     if use_sl:
         mask_tile = comps[6] if use_mask else None
-        sl, ct = chunk_shortlist(bounds, comps[:6], mask_tile, sub)
+        f2b = any_only or os.environ.get("RT_SHORTLIST_F2B") == "1"
+        sl, ct = chunk_shortlist(
+            bounds, comps[:6], mask_tile, sub, front_to_back=f2b
+        )
         tri_index = lambda i, j, sl_, ct_: (sl_[i, j], 0)  # noqa: E731
         ray_index = lambda i, j, sl_, ct_: (i, 0)  # noqa: E731
     else:

@@ -65,6 +65,14 @@ CONFIGS = {
          {"BENCH_SCENE": "suzanne_xhi", "BENCH_INTERSECTOR": "bvh",
           "BENCH_SIZE": "1024", "BENCH_ITERS": "8"}, 2400),
     ],
+    # front-to-back shortlist order on the CLOSEST kernel (occlusion is
+    # always f2b); only shortlist scenes (>32 chunks) are affected
+    "f2b": [
+        ("suzanne_hi_f2b",
+         {"BENCH_SCENE": "suzanne_hi", "RT_SHORTLIST_F2B": "1"}, 1800),
+        ("suzanne_xhi_f2b",
+         {"BENCH_SCENE": "suzanne_xhi", "RT_SHORTLIST_F2B": "1"}, 2400),
+    ],
 }
 
 

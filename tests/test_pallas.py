@@ -792,6 +792,24 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
         np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(occ_nm_sl, occ_nm)
 
+    # Front-to-back closest ordering (RT_SHORTLIST_F2B=1): visit order
+    # only affects exact cross-chunk same-type t ties (none exist for
+    # random rays against a real mesh — and sphere-vs-other ties are
+    # order-independent via the equal-t override), so the winner tuple
+    # stays bit-identical with the plain grid here. (The occlusion
+    # kernel is ALWAYS front-to-back — OR-accumulation is order-free —
+    # and the occ_* comparisons above already pin that.)
+    monkeypatch.delenv("RT_DISABLE_SHORTLIST")
+    monkeypatch.setenv("RT_SHORTLIST_F2B", "1")
+    f2b = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t, live_mask=live_t)
+    ]
+    for a, b in zip(f2b, without):
+        np.testing.assert_array_equal(
+            a.reshape(-1)[m], b.reshape(-1)[m]
+        )
+
 
 # -- sphere chunk windows (many-sphere scenes on the kernel path) --------------
 
