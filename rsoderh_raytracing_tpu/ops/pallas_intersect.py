@@ -413,8 +413,10 @@ def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz, t_max=None):
     dense sweep would find. Optional per-lane `t_max` (the running best
     hit) additionally rejects chunks whose slab ENTRY lies beyond it —
     exact, since any triangle inside the chunk has t >= entry > best_t
-    and loses the strict `t < best_t` comparison anyway (ties keep the
-    incumbent). Rounding safety must scale with ray DISTANCE, not chunk
+    and loses the strict `t < best_t` comparison anyway (and a TYING
+    candidate — which the f2b tie-break may prefer — has
+    t == best_t >= its chunk's entry, so its chunk always survives
+    this inclusive cull). Rounding safety must scale with ray DISTANCE, not chunk
     extent: both the slab entry and the triangle t it bounds carry
     fp error proportional to the hit distance (chunk_bounds' ~1e-5
     spatial inflation covers nearby origins but is dwarfed by t-ulps
@@ -725,11 +727,13 @@ def chunk_shortlist(bounds, ray_comps, mask, sub, front_to_back=False):
     bounded culls and the whole-block `pl.when` sweep skips fire more
     often. The occlusion kernel OR-accumulates, so its result is
     bitwise order-independent and it always uses this; the closest
-    kernel's winner is order-dependent ONLY on exact cross-chunk
-    same-type t ties (sphere-vs-other ties are restored by the equal-t
-    override regardless of order), so there it is opt-in
-    (RT_SHORTLIST_F2B=1) until the TPU measurement justifies flipping
-    the default with an index tie-break.
+    kernel's winner WOULD be order-dependent on exact cross-chunk
+    same-type t ties, so enabling it (RT_SHORTLIST_F2B=1, opt-in until
+    the TPU measurement justifies a default flip) also compiles a
+    lowest-index tie-break into the sweep (see _chunked_closest_kernel)
+    that restores the chunk-index-order winner bitwise under ANY visit
+    order; sphere-vs-other ties are order-free via the equal-t override
+    regardless.
 
     Conservative per-axis reachability: lanes' origins/directions are
     boxed per tile (mask-excluded lanes are neutral); an axis constrains
@@ -840,7 +844,8 @@ def chunk_shortlist(bounds, ray_comps, mask, sub, front_to_back=False):
 
 
 def _chunked_closest_kernel(
-    n_sph, n_pln, n_tri_chunks, n_sph_chunks, use_live, use_sl, *args
+    n_sph, n_pln, n_tri_chunks, n_sph_chunks, use_live, use_sl,
+    tie_break, *args
 ):
     """Grid (ray_blocks, chunks): out blocks are revisited across the
     chunk axis (innermost), accumulating the closest hit; the unrolled
@@ -868,7 +873,15 @@ def _chunked_closest_kernel(
     override is restricted to REAL incumbents (planes/triangles,
     type > 0): the miss sentinel (type -1, t = INF, a finite f32) must
     never be overridden by a sphere whose computed t lands exactly on
-    INF — the composed sweep's strict < keeps the miss there."""
+    INF — the composed sweep's strict < keeps the miss there.
+
+    tie_break (static; compiled in only for front-to-back shortlists):
+    chunk-index visit order makes strict < keep the LOWEST device index
+    on exact cross-chunk same-type t ties — the composed winner. Under
+    an out-of-order shortlist that invariant needs an explicit
+    same-type lowest-index tie-break, which costs two extra VPU
+    compares per candidate and is therefore compiled out of the
+    default index-order path where it is semantically a no-op."""
     if use_sl:
         sl_ref, ct_ref = args[:2]
         args = args[2:]
@@ -911,6 +924,13 @@ def _chunked_closest_kernel(
 
         for i, t, hit in tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
             better = hit & (t < best_t)
+            if tie_break:
+                better = better | (
+                    hit
+                    & (t == best_t)
+                    & (best_type == 2)
+                    & (base + i < best_idx)
+                )
             best_t = jnp.where(better, t, best_t)
             best_type = jnp.where(better, 2, best_type)
             best_idx = jnp.where(better, base + i, best_idx)
@@ -931,6 +951,13 @@ def _chunked_closest_kernel(
             better = hit & (
                 (t < best_t) | ((t == best_t) & (best_type > 0))
             )
+            if tie_break:
+                better = better | (
+                    hit
+                    & (t == best_t)
+                    & (best_type == 0)
+                    & (base + i < best_idx)
+                )
             best_t = jnp.where(better, t, best_t)
             best_type = jnp.where(better, 0, best_type)
             best_idx = jnp.where(better, base + i, best_idx)
@@ -1146,6 +1173,12 @@ def _chunked_tiles_call(
     n_chunks = n_tri_chunks + n_sph_chunks
 
     use_sl = _use_shortlist(n_chunks, grid_rays)
+    # occlusion shortlists are always front-to-back (OR order is free);
+    # the closest kernel opts in and then ALSO compiles the same-type
+    # lowest-index tie-break that keeps its winner order-independent.
+    f2b = use_sl and (
+        any_only or os.environ.get("RT_SHORTLIST_F2B") == "1"
+    )
 
     n_ray_ins = len(comps)
     kernel = (
@@ -1157,6 +1190,7 @@ def _chunked_tiles_call(
         else partial(
             _chunked_closest_kernel, n_sph_kernel, n_pln,
             n_tri_chunks, n_sph_chunks, use_mask, use_sl,
+            f2b,
         )
     )
     if any_only:
@@ -1172,7 +1206,6 @@ def _chunked_tiles_call(
     # map signature) and the two prefetched shortlist arguments.
     if use_sl:
         mask_tile = comps[6] if use_mask else None
-        f2b = any_only or os.environ.get("RT_SHORTLIST_F2B") == "1"
         sl, ct = chunk_shortlist(
             bounds, comps[:6], mask_tile, sub, front_to_back=f2b
         )

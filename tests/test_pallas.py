@@ -811,6 +811,107 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
         )
 
 
+def test_f2b_tie_break_restores_index_order_winner(monkeypatch):
+    """RT_SHORTLIST_F2B visits chunks nearest-first, so on an exact
+    cross-chunk same-type t tie the kernel's compiled lowest-index
+    tie-break must restore the chunk-index-order (= composed) winner
+    bitwise. The scene makes the tie REAL and the reorder PROVABLE: one
+    triangle duplicated bit-identically into chunks 35 and 40, with
+    chunk 40's filler parked nearer the camera so the front-to-back
+    shortlist provably visits the higher-index copy first."""
+    import jax.numpy as jnp
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Scene,
+    )
+
+    monkeypatch.setenv("RT_DISABLE_MORTON", "1")  # keep input chunk layout
+
+    n_chunks = 41
+    n_tri = n_chunks * pint.TRI_CHUNK
+    lo_chunk, hi_chunk = 35, 40
+    lo_slot = lo_chunk * pint.TRI_CHUNK
+    hi_slot = hi_chunk * pint.TRI_CHUNK
+
+    # filler triangles sit off-axis (x ~ 20) so the +z probe ray misses
+    # them; chunk 40's filler sits NEAR the origin (z ~ 2) so its AABB
+    # slab entry sorts before chunk 35's (z = 5) front-to-back.
+    v0 = np.tile(np.float32([20.0, 0.0, 50.0]), (n_tri, 1))
+    v0[hi_slot:hi_slot + pint.TRI_CHUNK, 2] = 2.0
+    v0 += np.linspace(0, 0.5, n_tri, dtype=np.float32)[:, None]
+    v1 = v0 + np.float32([0.1, 0.0, 0.0])
+    v2 = v0 + np.float32([0.0, 0.1, 0.0])
+    dup = (
+        np.float32([-1.0, -1.0, 5.0]),
+        np.float32([3.0, -1.0, 5.0]),
+        np.float32([-1.0, 3.0, 5.0]),
+    )
+    for arr, v in zip((v0, v1, v2), dup):
+        arr[lo_slot] = v
+        arr[hi_slot] = v
+
+    vertices = np.concatenate([v0, v1, v2], axis=0).astype(np.float32)
+    normals = np.array([[0.0, 0.0, 1.0]], np.float32)
+    idx = np.arange(n_tri)
+    zeros = np.zeros(n_tri, np.int64)
+    tris = np.stack(
+        [idx, idx + n_tri, idx + 2 * n_tri, zeros, zeros, zeros, zeros],
+        axis=-1,
+    ).astype(np.int32)
+    scene = Scene(
+        materials=[Material((0.5, 0.5, 0.5), 0.8, 0.0, (0, 0, 0))],
+        spheres=[],
+        planes=[],
+        meshes=PackedMeshes(
+            vertices=vertices, normals=normals, triangles=tris
+        ),
+        camera=Camera(pos=[0, 0, 0], yaw=0, pitch=0, fov_y=1.0),
+    )
+    ds = build_device_scene(scene)
+    # the tie is real: both copies pack to bit-identical constants
+    for a in (ds.tri_a, ds.tri_edge0, ds.tri_edge1):
+        np.testing.assert_array_equal(
+            np.asarray(a[lo_slot]), np.asarray(a[hi_slot])
+        )
+
+    # every lane is the same +z probe ray through both copies
+    def tile(x):
+        return jnp.full((pint.SUBLANES, pint.LANES), x, jnp.float32)
+
+    ro_t = (tile(0.0), tile(0.0), tile(0.0))
+    rd_t = (tile(0.0), tile(0.0), tile(1.0))
+
+    # the front-to-back pre-pass provably visits 40 before 35
+    assert pint._use_shortlist(n_chunks, 1)
+    bounds = pint.chunk_bounds(ds)
+    sl, ct = pint.chunk_shortlist(
+        bounds, ro_t + rd_t, None, pint.SUBLANES, front_to_back=True
+    )
+    assert int(np.asarray(ct)[0]) == n_chunks
+    order = list(np.asarray(sl)[0][:2])
+    assert order == [hi_chunk, lo_chunk]
+
+    monkeypatch.setenv("RT_DISABLE_SHORTLIST", "1")
+    base = [
+        np.asarray(x) for x in pint.chunked_closest_tiles(ds, ro_t, rd_t)
+    ]
+    monkeypatch.delenv("RT_DISABLE_SHORTLIST")
+    monkeypatch.setenv("RT_SHORTLIST_F2B", "1")
+    f2b = [
+        np.asarray(x) for x in pint.chunked_closest_tiles(ds, ro_t, rd_t)
+    ]
+
+    # index order keeps the LOW copy; f2b + tie-break must match bitwise
+    assert base[1].flat[0] == 2 and base[2].flat[0] == lo_slot
+    for a, b in zip(f2b, base):
+        np.testing.assert_array_equal(a, b)
+
+
 # -- sphere chunk windows (many-sphere scenes on the kernel path) --------------
 
 
