@@ -230,6 +230,14 @@ def build_device_scene(
             pad_to if total_small <= MAX_UNROLL_PRIMS else TRI_CHUNK,
         )
         with_bvh = not counts_kernel_path(s_n, p_n, t_probe)
+        # RT_BVH_ABOVE_TRIS=N lowers the auto crossover: route scenes
+        # with more than N padded triangle lanes onto the flat-BVH
+        # traversal even where the chunked kernels still apply — the
+        # retune knob for whatever chunked-vs-BVH crossover the TPU
+        # sweep measures (scripts/round4_sweep.py 'bvh'/'xhi' groups).
+        thresh = _os.environ.get("RT_BVH_ABOVE_TRIS")
+        if not with_bvh and thresh and t_probe > int(thresh):
+            with_bvh = True
     if (
         total_small > MAX_UNROLL_PRIMS
         and len(tris) > 0

@@ -229,6 +229,22 @@ def test_renderer_bvh_intersector(house_scene):
         Renderer(house_scene, intersector="nope")
 
 
+def test_bvh_above_tris_knob_lowers_auto_crossover(
+    house_scene, monkeypatch
+):
+    """RT_BVH_ABOVE_TRIS=N retunes the auto route: scenes with more than
+    N padded triangle lanes attach the flat BVH even where the chunked
+    kernels still apply (the knob applies whatever chunked-vs-BVH
+    crossover the TPU sweep measures, without a code change)."""
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    assert build_device_scene(house_scene, with_bvh="auto").bvh is None
+    monkeypatch.setenv("RT_BVH_ABOVE_TRIS", "1")
+    assert build_device_scene(house_scene, with_bvh="auto").bvh is not None
+    # explicit intersector choices are not second-guessed by the knob
+    assert build_device_scene(house_scene, with_bvh=False).bvh is None
+
+
 def test_bvh_miss_linear_fallback_adversarial():
     """cast_ray's sphere+plane fallback after a BVH miss
     (shader.wgsl:576-598): axis-parallel rays against an axis-aligned
