@@ -529,14 +529,16 @@ def sphere_chunk_bounds(scene):
     return jnp.concatenate([lo - eps, hi + eps], axis=-1)
 
 
-def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz):
+def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz, row0=0):
     """Yield (i, t, hit) for each of a window's TRI_CHUNK spheres — the
     exact _sweep_body sphere test on the consolidated SMEM window ref
-    (same robust q-form, same epsilons)."""
+    (same robust q-form, same epsilons). `row0` (static) offsets into a
+    multi-chunk GROUP window (grouped shortlists)."""
     a_q = dx * dx + dy * dy + dz * dz
     d_dot_o = dx * ox + dy * oy + dz * oz
     o_dot_o = ox * ox + oy * oy + oz * oz
-    for i in range(TRI_CHUNK):
+    for j in range(TRI_CHUNK):
+        i = row0 + j
         cx = win_ref[i, SC_POS]
         cy = win_ref[i, SC_POS + 1]
         cz = win_ref[i, SC_POS + 2]
@@ -558,17 +560,20 @@ def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz):
             & (t >= geo.SPHERE_EPS)
             & (win_ref[i, SC_VALID] > 0)
         )
-        yield i, t, hit
+        yield j, t, hit
 
 
-def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
+def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
     """Yield (i, t, hit) for each of a chunk window's TRI_CHUNK triangles
     — the same expanded-triple-product test as _sweep_body, on the
-    consolidated (TRI_CHUNK, TRI_COLS) SMEM window ref."""
+    consolidated (TRI_CHUNK, TRI_COLS) SMEM window ref. `row0` (static)
+    offsets into a multi-chunk GROUP window (grouped shortlists); the
+    yielded index stays within-chunk (0..TRI_CHUNK-1)."""
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
-    for i in range(TRI_CHUNK):
+    for j in range(TRI_CHUNK):
+        i = row0 + j
         det = (
             dx * tri_ref[i, C_CDET]
             + dy * tri_ref[i, C_CDET + 1]
@@ -617,10 +622,10 @@ def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
             & (t >= geo.TRI_T_EPS)
             & (tri_ref[i, C_VALID] > 0)
         )
-        yield i, t, hit
+        yield j, t, hit
 
 
-def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
+def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
     """Yield hit-only masks for a chunk window, DIVISION-FREE: every
     quotient comparison of tri_chunk_hits is replaced by its sign-scaled
     numerator form (u >= 0  <=>  u_num*sign(det) >= 0;  u <= 1  <=>
@@ -630,11 +635,13 @@ def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
     boundary (ulp-scale bands — the same rare class as the documented
     fma-contraction trajectory flips). Occlusion needs no t value, so
     the per-triangle divide disappears entirely. Consumes the
-    consolidated (TRI_CHUNK, TRI_COLS) SMEM window ref."""
+    consolidated (TRI_CHUNK, TRI_COLS) SMEM window ref. `row0`
+    (static) offsets into a multi-chunk GROUP window."""
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
-    for i in range(TRI_CHUNK):
+    for j in range(TRI_CHUNK):
+        i = row0 + j
         det = (
             dx * tri_ref[i, C_CDET]
             + dy * tri_ref[i, C_CDET + 1]
@@ -701,17 +708,66 @@ def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
 SHORTLIST_MIN_CHUNKS = 32  # below this the per-step overhead is small
 # The (n_tiles, n_chunks) i32 shortlist is itself an SMEM resident;
 # past this budget (suzanne_hi at 2048^2 uses 495 KB of the v5e's
-# measured 1 MB) the kernels fall back to the plain grid rather than
-# blow the compile — the per-lane culls still apply there.
+# measured 1 MB) the kernels group chunks (below) rather than blow the
+# compile — the per-lane culls still apply either way.
 SHORTLIST_SMEM_BUDGET = 512 * 1024
+# Grouped shortlists: when the flat (T, C) list does not fit, shortlist
+# chunk GROUPS instead — one grid step fetches a (G*TRI_CHUNK)-row
+# window and sweeps its G chunks in-kernel (each behind its own slab
+# cull), so BOTH the SMEM footprint and the grid-step count shrink by
+# G. The cap bounds the unrolled kernel body (G*TRI_CHUNK primitive
+# tests) and the double-buffered window (2*G*TRI_CHUNK*TRI_COLS*4 =
+# 196 KB at 16).
+MAX_SHORTLIST_GROUP = 16
+
+
+def _shortlist_group(n_chunks: int, n_tiles: int) -> int:
+    """Chunks per shortlist entry: 0 = no shortlist (plain grid), 1 =
+    flat per-chunk shortlist, G > 1 = grouped (grid step = G chunks).
+    Smallest group whose (T, ceil(C/G)) i32 list fits the SMEM budget.
+    RT_SHORTLIST_GROUP=G forces a size (testing/ablation);
+    RT_DISABLE_GROUP_SHORTLIST=1 allows only the flat list."""
+    if os.environ.get("RT_DISABLE_SHORTLIST") == "1":
+        return 0
+    if n_chunks <= SHORTLIST_MIN_CHUNKS:
+        return 0
+    forced = os.environ.get("RT_SHORTLIST_GROUP")
+    if forced:
+        return min(int(forced), MAX_SHORTLIST_GROUP)
+    g = 1
+    while g <= MAX_SHORTLIST_GROUP:
+        n_entries = -(-n_chunks // g)
+        if n_tiles * n_entries * 4 <= SHORTLIST_SMEM_BUDGET:
+            return g
+        if os.environ.get("RT_DISABLE_GROUP_SHORTLIST") == "1":
+            return 0
+        g *= 2
+    return 0
 
 
 def _use_shortlist(n_chunks: int, n_tiles: int) -> bool:
-    if os.environ.get("RT_DISABLE_SHORTLIST") == "1":
-        return False
-    return (
-        n_chunks > SHORTLIST_MIN_CHUNKS
-        and n_tiles * n_chunks * 4 <= SHORTLIST_SMEM_BUDGET
+    """Whether the FLAT per-chunk shortlist applies (kept for tests;
+    grouped shortlists report via _shortlist_group)."""
+    return _shortlist_group(n_chunks, n_tiles) == 1
+
+
+def group_chunk_bounds(bounds, group: int):
+    """(ceil(C/group), 6) union AABBs over `group` consecutive chunks
+    (Morton chunk clustering keeps neighbours spatially tight). The
+    last entry pads with the final chunk's bounds — padded sub-chunk
+    slots are skipped in-kernel by their jc < n_chunks guard, so the
+    union only needs to cover real chunks."""
+    n = bounds.shape[0]
+    n_groups = -(-n // group)
+    pad = n_groups * group - n
+    if pad:
+        bounds = jnp.concatenate(
+            [bounds, jnp.broadcast_to(bounds[-1:], (pad, 6))], axis=0
+        )
+    b = bounds.reshape(n_groups, group, 6)
+    return jnp.concatenate(
+        [jnp.min(b[..., 0:3], axis=1), jnp.max(b[..., 3:6], axis=1)],
+        axis=-1,
     )
 
 
@@ -845,7 +901,7 @@ def chunk_shortlist(bounds, ray_comps, mask, sub, front_to_back=False):
 
 def _chunked_closest_kernel(
     n_sph, n_pln, n_tri_chunks, n_sph_chunks, use_live, use_sl,
-    tie_break, *args
+    tie_break, group, *args
 ):
     """Grid (ray_blocks, chunks): out blocks are revisited across the
     chunk axis (innermost), accumulating the closest hit; the unrolled
@@ -861,7 +917,13 @@ def _chunked_closest_kernel(
     sweep only runs when ANY lane survives all three. With use_sl the
     step's chunk index comes from the prefetched per-tile shortlist
     (chunk_shortlist) and steps past the shortlist count are no-ops on
-    an already-fetched window.
+    an already-fetched window. With group > 1 (grouped shortlists —
+    _shortlist_group) each shortlist entry is a GROUP index: the grid
+    step's window carries `group` consecutive chunks and the kernel
+    sweeps each behind its own slab cull, so both the shortlist SMEM
+    footprint and the grid-step count shrink by `group` — the regime
+    where the flat list cannot fit (suzanne_xhi's 3,872 chunks at
+    2048^2 would need 7.9 MB).
 
     Winner order parity: the composed sweep considers spheres, then
     planes, then triangles, keeping the FIRST winner on exact-t ties
@@ -900,7 +962,6 @@ def _chunked_closest_kernel(
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ti = pl.program_id(0)
     j = pl.program_id(1)
-    jc = sl_ref[ti, j] if use_sl else j
 
     @pl.when(j == 0)
     def _():
@@ -916,13 +977,15 @@ def _chunked_closest_kernel(
 
     # Read AFTER the j==0 init (program order): t_ref holds the running
     # best (small prims + chunks < j), making the cull best-t-bounded.
-    def tri_window_sweep():
+    def tri_window_sweep(jc, row0):
         best_t = t_ref[:]
         best_type = type_ref[:]
         best_idx = idx_ref[:]
         base = jc * TRI_CHUNK
 
-        for i, t, hit in tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
+        for i, t, hit in tri_chunk_hits(
+            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0
+        ):
             better = hit & (t < best_t)
             if tie_break:
                 better = better | (
@@ -939,13 +1002,15 @@ def _chunked_closest_kernel(
         type_ref[:] = best_type
         idx_ref[:] = best_idx
 
-    def sph_window_sweep():
+    def sph_window_sweep(jc, row0):
         best_t = t_ref[:]
         best_type = type_ref[:]
         best_idx = idx_ref[:]
         base = (jc - n_tri_chunks) * TRI_CHUNK
 
-        for i, t, hit in sph_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
+        for i, t, hit in sph_chunk_hits(
+            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0
+        ):
             # equal-t override of REAL non-sphere incumbents (> 0: the
             # type -1 miss sentinel is never overridden): see docstring
             better = hit & (
@@ -966,7 +1031,7 @@ def _chunked_closest_kernel(
         type_ref[:] = best_type
         idx_ref[:] = best_idx
 
-    def sweep_if_any_lane_survives():
+    def sweep_if_any_lane_survives(jc, row0):
         slab = chunk_slab_mask(
             bounds_ref, jc, ox, oy, oz, dx, dy, dz, t_max=t_ref[:]
         )
@@ -976,24 +1041,48 @@ def _chunked_closest_kernel(
         @pl.when(jnp.any(slab))
         def _():
             if n_sph_chunks == 0:
-                tri_window_sweep()
+                tri_window_sweep(jc, row0)
             elif n_tri_chunks == 0:
-                sph_window_sweep()
+                sph_window_sweep(jc, row0)
             else:
-                pl.when(jc < n_tri_chunks)(tri_window_sweep)
-                pl.when(jc >= n_tri_chunks)(sph_window_sweep)
+                pl.when(jc < n_tri_chunks)(
+                    lambda: tri_window_sweep(jc, row0)
+                )
+                pl.when(jc >= n_tri_chunks)(
+                    lambda: sph_window_sweep(jc, row0)
+                )
+
+    n_chunks = n_tri_chunks + n_sph_chunks
+
+    def sweep_listed():
+        if not use_sl:
+            sweep_if_any_lane_survives(j, 0)
+        elif group == 1:
+            sweep_if_any_lane_survives(sl_ref[ti, j], 0)
+        else:
+            # grouped shortlist: this grid step's window carries `group`
+            # consecutive chunks; sweep each behind its own slab cull
+            # (and its own best-t bound — earlier sub-chunks tighten it)
+            jg = sl_ref[ti, j]
+            for kk in range(group):
+                jc = jg * group + kk
+
+                @pl.when(jc < n_chunks)  # last group may pad past C
+                def _(jc=jc, kk=kk):
+                    sweep_if_any_lane_survives(jc, kk * TRI_CHUNK)
 
     if use_sl:
         # padded steps (j >= count) skip even the slab eval
         @pl.when(j < ct_ref[ti])
         def _():
-            sweep_if_any_lane_survives()
+            sweep_listed()
     else:
-        sweep_if_any_lane_survives()
+        sweep_listed()
 
 
 def _chunked_any_kernel(
-    n_sph, n_pln, n_tri_chunks, n_sph_chunks, use_mask, use_sl, *args
+    n_sph, n_pln, n_tri_chunks, n_sph_chunks, use_mask, use_sl,
+    group, *args
 ):
     """Occlusion-only variant of _chunked_closest_kernel: the same hit
     conditions and chunk-AABB cull, OR-accumulated into one i32 output —
@@ -1028,7 +1117,6 @@ def _chunked_any_kernel(
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ti = pl.program_id(0)
     j = pl.program_id(1)
-    jc = sl_ref[ti, j] if use_sl else j
 
     @pl.when(j == 0)
     def _():
@@ -1040,19 +1128,23 @@ def _chunked_any_kernel(
 
     # Read AFTER the j==0 init (program order): lanes already occluded
     # cannot change, so they stop forcing chunk sweeps.
-    def tri_window_sweep():
+    def tri_window_sweep(row0):
         occ = occ_ref[:] != 0
-        for hit in tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz):
+        for hit in tri_chunk_occluded(
+            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0
+        ):
             occ = occ | hit
         occ_ref[:] = occ.astype(jnp.int32)
 
-    def sph_window_sweep():
+    def sph_window_sweep(row0):
         occ = occ_ref[:] != 0
-        for _, _, hit in sph_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz):
+        for _, _, hit in sph_chunk_hits(
+            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0
+        ):
             occ = occ | hit
         occ_ref[:] = occ.astype(jnp.int32)
 
-    def sweep_if_any_lane_survives():
+    def sweep_if_any_lane_survives(jc, row0):
         slab = chunk_slab_mask(bounds_ref, jc, ox, oy, oz, dx, dy, dz)
         slab = slab & (occ_ref[:] == 0)
         if use_mask:
@@ -1061,20 +1153,42 @@ def _chunked_any_kernel(
         @pl.when(jnp.any(slab))
         def _():
             if n_sph_chunks == 0:
-                tri_window_sweep()
+                tri_window_sweep(row0)
             elif n_tri_chunks == 0:
-                sph_window_sweep()
+                sph_window_sweep(row0)
             else:
-                pl.when(jc < n_tri_chunks)(tri_window_sweep)
-                pl.when(jc >= n_tri_chunks)(sph_window_sweep)
+                pl.when(jc < n_tri_chunks)(
+                    lambda: tri_window_sweep(row0)
+                )
+                pl.when(jc >= n_tri_chunks)(
+                    lambda: sph_window_sweep(row0)
+                )
+
+    n_chunks = n_tri_chunks + n_sph_chunks
+
+    def sweep_listed():
+        if not use_sl:
+            sweep_if_any_lane_survives(j, 0)
+        elif group == 1:
+            sweep_if_any_lane_survives(sl_ref[ti, j], 0)
+        else:
+            # grouped shortlist: see _chunked_closest_kernel; earlier
+            # sub-chunks' occlusion writes feed later sub-chunks' culls
+            jg = sl_ref[ti, j]
+            for kk in range(group):
+                jc = jg * group + kk
+
+                @pl.when(jc < n_chunks)  # last group may pad past C
+                def _(jc=jc, kk=kk):
+                    sweep_if_any_lane_survives(jc, kk * TRI_CHUNK)
 
     if use_sl:
         # padded steps (j >= count) skip even the slab eval
         @pl.when(j < ct_ref[ti])
         def _():
-            sweep_if_any_lane_survives()
+            sweep_listed()
     else:
-        sweep_if_any_lane_survives()
+        sweep_listed()
 
 
 def chunk_bounds(scene):
@@ -1172,7 +1286,9 @@ def _chunked_tiles_call(
         n_sph_kernel = n_sph
     n_chunks = n_tri_chunks + n_sph_chunks
 
-    use_sl = _use_shortlist(n_chunks, grid_rays)
+    # 0 = plain grid, 1 = flat per-chunk shortlist, >1 = grouped
+    group = _shortlist_group(n_chunks, grid_rays)
+    use_sl = group >= 1
     # occlusion shortlists are always front-to-back (OR order is free);
     # the closest kernel opts in and then ALSO compiles the same-type
     # lowest-index tie-break that keeps its winner order-independent.
@@ -1185,12 +1301,13 @@ def _chunked_tiles_call(
         partial(
             _chunked_any_kernel, n_sph_kernel, n_pln,
             n_tri_chunks, n_sph_chunks, use_mask, use_sl,
+            max(group, 1),
         )
         if any_only
         else partial(
             _chunked_closest_kernel, n_sph_kernel, n_pln,
             n_tri_chunks, n_sph_chunks, use_mask, use_sl,
-            f2b,
+            f2b, max(group, 1),
         )
     )
     if any_only:
@@ -1203,20 +1320,38 @@ def _chunked_tiles_call(
 
     # The shortlist and plain grids share all spec plumbing; they differ
     # only in the index-map arity (prefetch operands are appended to the
-    # map signature) and the two prefetched shortlist arguments.
+    # map signature) and the two prefetched shortlist arguments. Grouped
+    # shortlists (group > 1) list GROUP indices over union AABBs, fetch
+    # (group*TRI_CHUNK)-row windows, and shrink the chunk grid axis to
+    # ceil(C/group).
+    win_rows = max(group, 1) * TRI_CHUNK
     if use_sl:
+        n_entries = -(-n_chunks // group)
         mask_tile = comps[6] if use_mask else None
-        sl, ct = chunk_shortlist(
-            bounds, comps[:6], mask_tile, sub, front_to_back=f2b
+        sl_bounds = (
+            bounds if group == 1 else group_chunk_bounds(bounds, group)
         )
+        sl, ct = chunk_shortlist(
+            sl_bounds, comps[:6], mask_tile, sub, front_to_back=f2b
+        )
+        # pad the window table to whole group windows (padded rows are
+        # valid=0 AND guarded by the in-kernel jc < n_chunks pl.when)
+        pad_rows = n_entries * win_rows - tri_const.shape[0]
+        if pad_rows:
+            tri_const = jnp.concatenate(
+                [tri_const, jnp.zeros((pad_rows, TRI_COLS), jnp.float32)],
+                axis=0,
+            )
         tri_index = lambda i, j, sl_, ct_: (sl_[i, j], 0)  # noqa: E731
         ray_index = lambda i, j, sl_, ct_: (i, 0)  # noqa: E731
+        grid_chunks = n_entries
     else:
         tri_index = lambda i, j: (j, 0)  # noqa: E731
         ray_index = lambda i, j: (i, 0)  # noqa: E731
+        grid_chunks = n_chunks
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec(
-        (TRI_CHUNK, TRI_COLS), tri_index, memory_space=pltpu.SMEM
+        (win_rows, TRI_COLS), tri_index, memory_space=pltpu.SMEM
     )
     ray_block = pl.BlockSpec(
         (sub, LANES), ray_index, memory_space=pltpu.VMEM
@@ -1228,7 +1363,7 @@ def _chunked_tiles_call(
     if use_sl:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(grid_rays, n_chunks),
+            grid=(grid_rays, grid_chunks),
             in_specs=in_specs,
             out_specs=out_specs,
         )
@@ -1240,7 +1375,7 @@ def _chunked_tiles_call(
         )(sl, ct, *operands)
     return pl.pallas_call(
         kernel,
-        grid=(grid_rays, n_chunks),
+        grid=(grid_rays, grid_chunks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -60,7 +60,12 @@ CONFIGS = {
           "BENCH_SIZE": "1024", "BENCH_ITERS": "16"}, 1800),
     ],
     "xhi": [
+        # default now picks a GROUPED shortlist at this scale (group=16
+        # at 2048^2 — the flat list would need 7.9 MB of SMEM)
         ("suzanne_xhi_chunked", {"BENCH_SCENE": "suzanne_xhi"}, 2400),
+        ("suzanne_xhi_nogroup",
+         {"BENCH_SCENE": "suzanne_xhi",
+          "RT_DISABLE_GROUP_SHORTLIST": "1"}, 2400),
         ("suzanne_xhi_bvh_1024",
          {"BENCH_SCENE": "suzanne_xhi", "BENCH_INTERSECTOR": "bvh",
           "BENCH_SIZE": "1024", "BENCH_ITERS": "8"}, 2400),

@@ -744,9 +744,11 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
     grid_rays = (n_pad // pint.LANES) // pint.SUBLANES
     assert pint._use_shortlist(n_chunks, grid_rays)
     # The shortlist itself lives in SMEM; past the budget the call must
-    # fall back to the plain grid rather than blow the 1 MB compile.
+    # leave the FLAT list (it now groups chunks instead — tested below)
+    # rather than blow the 1 MB compile.
     too_many_tiles = pint.SHORTLIST_SMEM_BUDGET // (4 * n_chunks) + 1
     assert not pint._use_shortlist(n_chunks, too_many_tiles)
+    assert pint._shortlist_group(n_chunks, too_many_tiles) == 2
 
     with_sl = [
         np.asarray(x)
@@ -809,6 +811,30 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
         np.testing.assert_array_equal(
             a.reshape(-1)[m], b.reshape(-1)[m]
         )
+
+    # Grouped shortlist (RT_SHORTLIST_GROUP=4 — the regime where the
+    # flat list exceeds the SMEM budget): group-union reachability is
+    # COARSER than flat (a superset of groups is listed), each listed
+    # group sweeps its 4 chunks behind their own per-chunk slab culls,
+    # so results stay bit-identical. The occlusion kernel is grouped
+    # AND front-to-back here (any_only forces f2b).
+    monkeypatch.delenv("RT_SHORTLIST_F2B")
+    monkeypatch.setenv("RT_SHORTLIST_GROUP", "4")
+    assert pint._shortlist_group(n_chunks, 1) == 4
+    grp = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds, ro_t, rd_t, live_mask=live_t)
+    ]
+    occ_grp = np.asarray(
+        pint.chunked_any_tiles(ds, ro_t, rd_t, hit_mask=live_t)
+    )
+    for a, b in zip(grp, without):
+        np.testing.assert_array_equal(
+            a.reshape(-1)[m], b.reshape(-1)[m]
+        )
+    np.testing.assert_array_equal(
+        occ_grp.reshape(-1)[m], occ_no.reshape(-1)[m]
+    )
 
 
 def test_f2b_tie_break_restores_index_order_winner(monkeypatch):
@@ -909,6 +935,22 @@ def test_f2b_tie_break_restores_index_order_winner(monkeypatch):
     # index order keeps the LOW copy; f2b + tie-break must match bitwise
     assert base[1].flat[0] == 2 and base[2].flat[0] == lo_slot
     for a, b in zip(f2b, base):
+        np.testing.assert_array_equal(a, b)
+
+    # grouped + front-to-back: the dup copies land in groups 8 and 10
+    # (chunks 35, 40 at group 4); group 10's near filler still sorts it
+    # first, and the tie-break must still restore the low-index winner
+    gb = pint.group_chunk_bounds(bounds, 4)
+    sl_g, _ = pint.chunk_shortlist(
+        gb, ro_t + rd_t, None, pint.SUBLANES, front_to_back=True
+    )
+    g_order = list(np.asarray(sl_g)[0][:2])
+    assert g_order == [hi_chunk // 4, lo_chunk // 4]
+    monkeypatch.setenv("RT_SHORTLIST_GROUP", "4")
+    f2b_grp = [
+        np.asarray(x) for x in pint.chunked_closest_tiles(ds, ro_t, rd_t)
+    ]
+    for a, b in zip(f2b_grp, base):
         np.testing.assert_array_equal(a, b)
 
 
