@@ -61,7 +61,14 @@ CONFIGS = {
     ],
     "xhi": [
         # default now picks a GROUPED shortlist at this scale (group=16
-        # at 2048^2 — the flat list would need 7.9 MB of SMEM)
+        # at 2048^2, group=4 at 1024^2 — the flat list would need
+        # 7.9 MB of SMEM). The 1024^2 config goes first: its G=4 body
+        # is a compile size already proven on this toolchain
+        # (TRI_CHUNK=256), so a short tunnel window lands at least one
+        # xhi number even if the G=16 compile is slow.
+        ("suzanne_xhi_1024",
+         {"BENCH_SCENE": "suzanne_xhi", "BENCH_SIZE": "1024",
+          "BENCH_ITERS": "8"}, 2400),
         ("suzanne_xhi_chunked", {"BENCH_SCENE": "suzanne_xhi"}, 2400),
         ("suzanne_xhi_nogroup",
          {"BENCH_SCENE": "suzanne_xhi",
