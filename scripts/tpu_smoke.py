@@ -9,6 +9,8 @@ the cross-checks used to validate it:
     bitwise-equal; the rest are fma-contraction trajectory flips),
 1b. big-scene (chunked + mega-shade) path vs composed on suzanne,
 1c. lifted-ceiling path vs composed on suzanne_hi (15,488 tris),
+1f. grouped (G=4) and front-to-back(+tie-break) shortlists vs the
+    default flat/index-order kernels, bit-transparent,
 1d. sphere-window path vs composed on the 1000-sphere cloud,
 1e. MIXED grid (triangle + sphere windows in one kernel) vs composed,
 2.  sharded (shard_map) == unsharded, bitwise,
@@ -129,6 +131,48 @@ def main() -> int:
     assert pallas_intersect.chunked_trace_supported(hi), "hi path off"
     kernel_vs_composed(
         "suzanne_hi (15488 tris) kernel vs composed 1spp", hi, hi_cam, 128
+    )
+
+    # 1f. grouped + front-to-back shortlists on hardware --------------------
+    # Both knobs are bit-transparent by construction (group reachability
+    # is coarser than flat + unchanged per-chunk culls; f2b compiles the
+    # lowest-index tie-break), but each knob is a DIFFERENT compiled
+    # program, so rare contraction-class ulp flips are legal — record
+    # the fraction like the kernel-vs-composed checks.
+    def knob_vs_default(name, knobs, dscene, camera, px, thresh=0.995):
+        nonlocal failures
+        img_d = np.asarray(
+            render_wavefront(
+                dscene, env, camera, np.uint32(0), (px, px), np.uint32(1)
+            )
+        )
+        for k, v in knobs.items():
+            os.environ[k] = v
+        render_wavefront.clear_cache()
+        img_k = np.asarray(
+            render_wavefront(
+                dscene, env, camera, np.uint32(0), (px, px), np.uint32(1)
+            )
+        )
+        for k in knobs:
+            del os.environ[k]
+        render_wavefront.clear_cache()
+        eq = np.abs(img_k - img_d).max(-1) <= 1e-5
+        frac = float(eq.mean())
+        failures += record(
+            name, frac > thresh,
+            pixels_bit_equal_frac=round(frac, 6),
+            diverging_pixels=int((~eq).sum()),
+            size=px,
+        )
+
+    knob_vs_default(
+        "grouped shortlist (G=4) == flat, suzanne_hi 1spp",
+        {"RT_SHORTLIST_GROUP": "4"}, hi, hi_cam, 128,
+    )
+    knob_vs_default(
+        "front-to-back closest (+tie-break) == index order, suzanne_hi 1spp",
+        {"RT_SHORTLIST_F2B": "1"}, hi, hi_cam, 128,
     )
 
     # 1d. sphere windows: the 1000-sphere cloud on the chunked path --------
