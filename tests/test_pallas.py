@@ -1165,6 +1165,39 @@ def test_sphere_chunk_culls_and_shortlist_preserve_results(monkeypatch):
         occ_sl.reshape(-1)[m], occ_no.reshape(-1)[m]
     )
 
+    # Grouped shortlist over a MIXED grid: 2 triangle + 34 sphere chunks
+    # at G=4 makes group 0 STRADDLE the triangle/sphere window boundary
+    # (sub-chunks 0-1 triangles, 2-3 spheres) — the per-sub-chunk kind
+    # branch must keep results bit-identical to the plain grid.
+    ds_mix = build_device_scene(
+        _sphere_cloud_scene(2150, seed=13, n_tris=128)
+    )
+    assert ds_mix.tri_valid.shape[0] // pint.TRI_CHUNK == 2
+    assert pint._chunk_spheres(ds_mix)
+    monkeypatch.delenv("RT_DISABLE_SHORTLIST")
+    monkeypatch.setenv("RT_SHORTLIST_GROUP", "4")
+    mix_grp = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds_mix, ro_t, rd_t, live_mask=live_t)
+    ]
+    occ_mix_grp = np.asarray(
+        pint.chunked_any_tiles(ds_mix, ro_t, rd_t, hit_mask=live_t)
+    )
+    monkeypatch.delenv("RT_SHORTLIST_GROUP")
+    monkeypatch.setenv("RT_DISABLE_SHORTLIST", "1")
+    mix_plain = [
+        np.asarray(x)
+        for x in pint.chunked_closest_tiles(ds_mix, ro_t, rd_t, live_mask=live_t)
+    ]
+    occ_mix_plain = np.asarray(
+        pint.chunked_any_tiles(ds_mix, ro_t, rd_t, hit_mask=live_t)
+    )
+    for a, b in zip(mix_grp, mix_plain):
+        np.testing.assert_array_equal(a.reshape(-1)[m], b.reshape(-1)[m])
+    np.testing.assert_array_equal(
+        occ_mix_grp.reshape(-1)[m], occ_mix_plain.reshape(-1)[m]
+    )
+
 
 def test_sphere_cloud_path_boundaries(tiny_env):
     """Path selection around the sphere-window gates: small clouds stay
