@@ -85,6 +85,14 @@ CONFIGS = {
         ("suzanne_xhi_f2b",
          {"BENCH_SCENE": "suzanne_xhi", "RT_SHORTLIST_F2B": "1"}, 2400),
     ],
+    # grouped shortlists where the FLAT list also fits: fewer grid steps
+    # (242 -> 61 at G=4) vs coarser reachability — measure the tradeoff
+    "group": [
+        ("suzanne_hi_group4",
+         {"BENCH_SCENE": "suzanne_hi", "RT_SHORTLIST_GROUP": "4"}, 1800),
+        ("suzanne_hi_group8",
+         {"BENCH_SCENE": "suzanne_hi", "RT_SHORTLIST_GROUP": "8"}, 1800),
+    ],
 }
 
 
