@@ -953,6 +953,16 @@ def test_f2b_tie_break_restores_index_order_winner(monkeypatch):
     for a, b in zip(f2b_grp, base):
         np.testing.assert_array_equal(a, b)
 
+    # G=16 over 41 chunks: 3 entries, the last group pads 7 sub-chunk
+    # slots past C — stressing the jc < n_chunks guard and the window
+    # table's zero-padding (valid=0) together with the tie-break
+    monkeypatch.setenv("RT_SHORTLIST_GROUP", "16")
+    f2b_g16 = [
+        np.asarray(x) for x in pint.chunked_closest_tiles(ds, ro_t, rd_t)
+    ]
+    for a, b in zip(f2b_g16, base):
+        np.testing.assert_array_equal(a, b)
+
 
 # -- sphere chunk windows (many-sphere scenes on the kernel path) --------------
 
