@@ -81,12 +81,114 @@ def device_bvh(bvh: FlatBVH) -> DeviceBVH:
     )
 
 
-def _leaf_test(scene: DeviceScene, bvh: DeviceBVH, ro, rd, start, count):
+def _bitcast_f32(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
+
+def _bitcast_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _use_packed() -> bool:
+    """RT_BVH_PACKED=1: fetch node/primitive constants as ONE wide
+    gather row per visit instead of several narrow takes. Measured on
+    CPU this LOSES ~1.5x (XLA:CPU turns narrow takes into cheap strided
+    loads; the wide row costs more) — so it is opt-in, for measuring the
+    opposite hypothesis on TPU where each dynamic gather carries a high
+    fixed issue cost (sweep config suzanne_hi_bvh_packed_1024)."""
+    import os
+
+    return os.environ.get("RT_BVH_PACKED") == "1"
+
+
+def _node_table(bvh: DeviceBVH):
+    """(K, 9) f32: [box min xyz, box max xyz, payload, count, axis] with
+    the three i32s BITCAST into f32 lanes (reinterpreted, never
+    arithmetic) — ONE gather row per node visit instead of five separate
+    takes. Loop-invariant: under jit XLA hoists it out of the traversal
+    while_loop. Opt-in via RT_BVH_PACKED (see _use_packed)."""
+    return jnp.concatenate(
+        [
+            bvh.nodes_min,
+            bvh.nodes_max,
+            _bitcast_f32(bvh.node_payload)[:, None],
+            _bitcast_f32(bvh.node_count)[:, None],
+            _bitcast_f32(bvh.node_axis)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _prim_table(scene: DeviceScene, bvh: DeviceBVH):
+    """(R, 16) f32 leaf-primitive constants in bvh.prim slot order, ONE
+    gather row per leaf slot. Column meaning is TYPE-SELECTED (col 15 is
+    the bitcast type tag): triangles [a, e0, e1], spheres [center,
+    radius], planes [pos, normal, bcm rows]. Rows for types the tree
+    lacks are zeros (statically skipped in _leaf_test anyway).
+    Loop-invariant like _node_table."""
+    ptype = bvh.prim_type
+    pidx = bvh.prim_index
+    r = ptype.shape[0]
+    zeros15 = jnp.zeros((r, 15), jnp.float32)
+
+    def take(tbl):
+        return jnp.take(tbl, pidx, axis=0, mode="clip")
+
+    tri_m = (
+        jnp.concatenate(
+            [
+                take(scene.tri_a),
+                take(scene.tri_edge0),
+                take(scene.tri_edge1),
+                jnp.zeros((r, 6), jnp.float32),
+            ],
+            axis=1,
+        )
+        if bvh.has_triangles
+        else zeros15
+    )
+    sph_m = (
+        jnp.concatenate(
+            [
+                take(scene.sph_pos),
+                take(scene.sph_radius)[:, None],
+                jnp.zeros((r, 11), jnp.float32),
+            ],
+            axis=1,
+        )
+        if bvh.has_spheres
+        else zeros15
+    )
+    pln_m = (
+        jnp.concatenate(
+            [
+                take(scene.pln_pos),
+                take(scene.pln_normal),
+                take(scene.pln_bcm).reshape(r, 9),
+            ],
+            axis=1,
+        )
+        if bvh.has_planes
+        else zeros15
+    )
+    sel = ptype[:, None]
+    table15 = jnp.where(
+        sel == 0, sph_m, jnp.where(sel == 1, pln_m, tri_m)
+    )
+    return jnp.concatenate(
+        [table15, _bitcast_f32(ptype)[:, None]], axis=1
+    )
+
+
+def _leaf_test(scene, bvh: DeviceBVH, prim_table, ro, rd, start, count):
     """Test up to max_leaf primitives starting at `start` for each ray.
 
     Returns (t, prim_slot) where prim_slot indexes bvh.prim_* arrays,
-    or (INF, -1).
-    """
+    or (INF, -1). With prim_table (RT_BVH_PACKED) each slot costs ONE
+    (N, 16) gather; otherwise type/index takes + per-type constant
+    takes, which XLA:CPU compiles measurably faster (see _use_packed).
+    Both forms feed IDENTICAL float values into identical tests, so
+    results are bitwise equal (tested)."""
     n = ro.shape[0]
     best_t = jnp.full((n,), INF)
     best_slot = jnp.full((n,), -1, jnp.int32)
@@ -95,29 +197,46 @@ def _leaf_test(scene: DeviceScene, bvh: DeviceBVH, ro, rd, start, count):
     for j in range(bvh.max_leaf):
         slot = jnp.minimum(start + j, num_prims - 1)
         in_leaf = j < count
-        ptype = jnp.take(bvh.prim_type, slot)
-        pidx = jnp.take(bvh.prim_index, slot)
+        if prim_table is not None:
+            row = jnp.take(prim_table, slot, axis=0)  # (N, 16)
+            ptype = _bitcast_i32(row[:, 15])
+            tri_args = (row[:, 0:3], row[:, 3:6], row[:, 6:9])
+            pln_args = (
+                row[:, 0:3], row[:, 3:6], row[:, 6:15].reshape(n, 3, 3)
+            )
+            sph_args = (row[:, 0:3], row[:, 3])
+        else:
+            ptype = jnp.take(bvh.prim_type, slot)
+            pidx = jnp.take(bvh.prim_index, slot)
+            if bvh.has_triangles:
+                tri_args = (
+                    jnp.take(scene.tri_a, pidx, axis=0),
+                    jnp.take(scene.tri_edge0, pidx, axis=0),
+                    jnp.take(scene.tri_edge1, pidx, axis=0),
+                )
+            if bvh.has_planes:
+                pln_args = (
+                    jnp.take(scene.pln_pos, pidx, axis=0),
+                    jnp.take(scene.pln_normal, pidx, axis=0),
+                    jnp.take(scene.pln_bcm, pidx, axis=0),
+                )
+            if bvh.has_spheres:
+                sph_args = (
+                    jnp.take(scene.sph_pos, pidx, axis=0),
+                    jnp.take(scene.sph_radius, pidx, axis=0),
+                )
 
         # Evaluate the primitive tests for each type the tree CONTAINS
         # (static — a pure-mesh BVH compiles only the triangle lane);
-        # select by the slot's type tag.
+        # select by the slot's type tag. Wrong-type slots feed garbage
+        # (finite) into the untaken branches — every test is guarded.
         t = jnp.full((n,), INF)
         if bvh.has_triangles:
-            t_a = jnp.take(scene.tri_a, pidx, axis=0)
-            t_e0 = jnp.take(scene.tri_edge0, pidx, axis=0)
-            t_e1 = jnp.take(scene.tri_edge1, pidx, axis=0)
-            t = jnp.where(ptype == 2, _triangle_t(ro, rd, t_a, t_e0, t_e1), t)
+            t = jnp.where(ptype == 2, _triangle_t(ro, rd, *tri_args), t)
         if bvh.has_planes:
-            p_pos = jnp.take(scene.pln_pos, pidx, axis=0)
-            p_nrm = jnp.take(scene.pln_normal, pidx, axis=0)
-            p_bcm = jnp.take(scene.pln_bcm, pidx, axis=0)
-            t = jnp.where(
-                ptype == 1, _plane_t(ro, rd, p_pos, p_nrm, p_bcm), t
-            )
+            t = jnp.where(ptype == 1, _plane_t(ro, rd, *pln_args), t)
         if bvh.has_spheres:
-            s_pos = jnp.take(scene.sph_pos, pidx, axis=0)
-            s_rad = jnp.take(scene.sph_radius, pidx, axis=0)
-            t = jnp.where(ptype == 0, _sphere_t(ro, rd, s_pos, s_rad), t)
+            t = jnp.where(ptype == 0, _sphere_t(ro, rd, *sph_args), t)
         t = jnp.where(in_leaf, t, INF)
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
@@ -191,6 +310,9 @@ def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
     """
     n = ro.shape[0]
     rd_inv = 1.0 / rd
+    packed = _use_packed()
+    node_table = _node_table(bvh) if packed else None
+    prim_table = _prim_table(scene, bvh) if packed else None
 
     stack = jnp.zeros((n, TRAVERSAL_STACK_DEPTH), jnp.int32)
     stack_len = jnp.zeros((n,), jnp.int32)
@@ -202,17 +324,29 @@ def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
     def cond(state):
         return jnp.any(state[3])
 
+    def fetch_node(current):
+        if packed:
+            row = jnp.take(node_table, current, axis=0)  # (N, 9)
+            return (
+                row[:, 0:3], row[:, 3:6],
+                _bitcast_i32(row[:, 6]),
+                _bitcast_i32(row[:, 7]),
+                _bitcast_i32(row[:, 8]),
+            )
+        return (
+            jnp.take(bvh.nodes_min, current, axis=0),
+            jnp.take(bvh.nodes_max, current, axis=0),
+            jnp.take(bvh.node_payload, current),
+            jnp.take(bvh.node_count, current),
+            jnp.take(bvh.node_axis, current),
+        )
+
     def body(state):
         stack, stack_len, current, running, best_t, best_slot = state
 
-        bmin = jnp.take(bvh.nodes_min, current, axis=0)
-        bmax = jnp.take(bvh.nodes_max, current, axis=0)
+        bmin, bmax, payload, count, axis = fetch_node(current)
         box_hit, t_entry = geo.ray_bounds_entry(ro, rd_inv, bmin, bmax)
         hit_box = box_hit & (t_entry <= best_t) & running
-
-        count = jnp.take(bvh.node_count, current)
-        payload = jnp.take(bvh.node_payload, current)
-        axis = jnp.take(bvh.node_axis, current)
 
         is_leaf = hit_box & (count > 0)
         is_interior = hit_box & (count == 0)
@@ -221,6 +355,7 @@ def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
         t, slot = _leaf_test(
             scene,
             bvh,
+            prim_table,
             ro,
             rd,
             jnp.where(is_leaf, payload, 0),
@@ -281,6 +416,9 @@ def traverse_any(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
     """
     n = ro.shape[0]
     rd_inv = 1.0 / rd
+    packed = _use_packed()
+    node_table = _node_table(bvh) if packed else None
+    prim_table = _prim_table(scene, bvh) if packed else None
 
     stack = jnp.zeros((n, TRAVERSAL_STACK_DEPTH), jnp.int32)
     stack_len = jnp.zeros((n,), jnp.int32)
@@ -291,16 +429,28 @@ def traverse_any(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
     def cond(state):
         return jnp.any(state[3])
 
+    def fetch_node(current):
+        if packed:
+            row = jnp.take(node_table, current, axis=0)  # (N, 9)
+            return (
+                row[:, 0:3], row[:, 3:6],
+                _bitcast_i32(row[:, 6]),
+                _bitcast_i32(row[:, 7]),
+                _bitcast_i32(row[:, 8]),
+            )
+        return (
+            jnp.take(bvh.nodes_min, current, axis=0),
+            jnp.take(bvh.nodes_max, current, axis=0),
+            jnp.take(bvh.node_payload, current),
+            jnp.take(bvh.node_count, current),
+            jnp.take(bvh.node_axis, current),
+        )
+
     def body(state):
         stack, stack_len, current, running, occluded = state
 
-        bmin = jnp.take(bvh.nodes_min, current, axis=0)
-        bmax = jnp.take(bvh.nodes_max, current, axis=0)
+        bmin, bmax, payload, count, axis = fetch_node(current)
         hit_box = geo.ray_intersects_bounds(ro, rd_inv, bmin, bmax) & running
-
-        count = jnp.take(bvh.node_count, current)
-        payload = jnp.take(bvh.node_payload, current)
-        axis = jnp.take(bvh.node_axis, current)
 
         is_leaf = hit_box & (count > 0)
         is_interior = hit_box & (count == 0)
@@ -308,6 +458,7 @@ def traverse_any(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
         t, _ = _leaf_test(
             scene,
             bvh,
+            prim_table,
             ro,
             rd,
             jnp.where(is_leaf, payload, 0),

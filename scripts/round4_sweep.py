@@ -58,6 +58,12 @@ CONFIGS = {
         ("suzanne_hi_bvh_1024",
          {"BENCH_SCENE": "suzanne_hi", "BENCH_INTERSECTOR": "bvh",
           "BENCH_SIZE": "1024", "BENCH_ITERS": "16"}, 1800),
+        # packed gather rows: LOSES 1.5x on CPU (XLA:CPU strided loads
+        # beat the wide row), measuring the TPU gather-issue hypothesis
+        ("suzanne_hi_bvh_packed_1024",
+         {"BENCH_SCENE": "suzanne_hi", "BENCH_INTERSECTOR": "bvh",
+          "RT_BVH_PACKED": "1",
+          "BENCH_SIZE": "1024", "BENCH_ITERS": "16"}, 1800),
     ],
     "xhi": [
         # default now picks a GROUPED shortlist at this scale (group=16

@@ -229,6 +229,33 @@ def test_renderer_bvh_intersector(house_scene):
         Renderer(house_scene, intersector="nope")
 
 
+def test_bvh_packed_tables_bit_identical(house_scene, monkeypatch):
+    """RT_BVH_PACKED=1 (one wide gather row per node visit / leaf slot,
+    int fields bitcast through f32 lanes) must return bitwise-identical
+    results to the default narrow takes: identical float values feed
+    identical tests. House exercises all three primitive-type lanes."""
+    from rsoderh_raytracing_tpu.ops.bvh_traverse import (
+        traverse_any,
+        traverse_closest,
+    )
+
+    ds = build_device_scene(house_scene, with_bvh=True)
+    rng = np.random.default_rng(3)
+    n = 512
+    ro = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    t0, s0 = map(np.asarray, traverse_closest(ds, ds.bvh, ro, rd))
+    o0 = np.asarray(traverse_any(ds, ds.bvh, ro, rd))
+    monkeypatch.setenv("RT_BVH_PACKED", "1")
+    t1, s1 = map(np.asarray, traverse_closest(ds, ds.bvh, ro, rd))
+    o1 = np.asarray(traverse_any(ds, ds.bvh, ro, rd))
+    np.testing.assert_array_equal(t1, t0)
+    np.testing.assert_array_equal(s1, s0)
+    np.testing.assert_array_equal(o1, o0)
+
+
 def test_bvh_above_tris_knob_lowers_auto_crossover(
     house_scene, monkeypatch
 ):
