@@ -307,7 +307,17 @@ def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
     which the strict `<` winner update would discard anyway, so (t,
     slot) results are bitwise identical while lockstep iterations drop
     with every early hit.
-    """
+
+    Child boxes are tested AT THE PARENT (both at once), so a node
+    whose box misses is never visited — a measured 46% of the naive
+    walk's visits on camera-like suzanne_hi rays were such box-miss
+    steps. `current` always carries the slab ENTRY time observed when
+    it was reached (`cur_entry`); a node whose stored entry has fallen
+    beyond the now-tighter best-t is skipped at processing time, which
+    is exactly the naive walk's per-visit prune (entry times are
+    time-invariant, best-t only shrinks), so the set of leaf tests —
+    and hence (t, slot) — stays bitwise identical to both the naive
+    walk and the reference order argument above."""
     n = ro.shape[0]
     rd_inv = 1.0 / rd
     packed = _use_packed()
@@ -315,41 +325,56 @@ def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
     prim_table = _prim_table(scene, bvh) if packed else None
 
     stack = jnp.zeros((n, TRAVERSAL_STACK_DEPTH), jnp.int32)
+    tstack = jnp.zeros((n, TRAVERSAL_STACK_DEPTH), jnp.float32)
     stack_len = jnp.zeros((n,), jnp.int32)
     current = jnp.zeros((n,), jnp.int32)
-    running = jnp.ones((n,), bool)
+    cur_entry = jnp.zeros((n,), jnp.float32)
+    # the root's box is tested up front (the one box test the
+    # parent-side scheme cannot cover)
+    root_hit, _ = geo.ray_bounds_entry(
+        ro, rd_inv,
+        jnp.broadcast_to(bvh.nodes_min[0], (n, 3)),
+        jnp.broadcast_to(bvh.nodes_max[0], (n, 3)),
+    )
+    running = root_hit
     best_t = jnp.full((n,), INF)
     best_slot = jnp.full((n,), -1, jnp.int32)
 
     def cond(state):
-        return jnp.any(state[3])
+        return jnp.any(state[5])
 
-    def fetch_node(current):
+    def fetch_meta(current):
         if packed:
             row = jnp.take(node_table, current, axis=0)  # (N, 9)
             return (
-                row[:, 0:3], row[:, 3:6],
                 _bitcast_i32(row[:, 6]),
                 _bitcast_i32(row[:, 7]),
                 _bitcast_i32(row[:, 8]),
             )
         return (
-            jnp.take(bvh.nodes_min, current, axis=0),
-            jnp.take(bvh.nodes_max, current, axis=0),
             jnp.take(bvh.node_payload, current),
             jnp.take(bvh.node_count, current),
             jnp.take(bvh.node_axis, current),
         )
 
+    def fetch_box(idx):
+        if packed:
+            row = jnp.take(node_table, idx, axis=0)
+            return row[:, 0:3], row[:, 3:6]
+        return (
+            jnp.take(bvh.nodes_min, idx, axis=0),
+            jnp.take(bvh.nodes_max, idx, axis=0),
+        )
+
     def body(state):
-        stack, stack_len, current, running, best_t, best_slot = state
+        (stack, tstack, stack_len, current, cur_entry, running,
+         best_t, best_slot) = state
 
-        bmin, bmax, payload, count, axis = fetch_node(current)
-        box_hit, t_entry = geo.ray_bounds_entry(ro, rd_inv, bmin, bmax)
-        hit_box = box_hit & (t_entry <= best_t) & running
-
-        is_leaf = hit_box & (count > 0)
-        is_interior = hit_box & (count == 0)
+        # the naive walk's per-visit prune, from the stored entry time
+        alive = running & (cur_entry <= best_t)
+        payload, count, axis = fetch_meta(current)
+        is_leaf = alive & (count > 0)
+        is_interior = alive & (count == 0)
 
         # Leaf: test primitives (executed for all lanes, masked).
         t, slot = _leaf_test(
@@ -365,42 +390,63 @@ def traverse_closest(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
         best_t = jnp.where(better, t, best_t)
         best_slot = jnp.where(better, slot, best_slot)
 
-        # Interior: push far child, descend near child (front-to-back by
-        # direction sign on the split axis — shader.wgsl:536-547).
+        # Interior: test BOTH children here (front-to-back by direction
+        # sign on the split axis — shader.wgsl:536-547); only hit
+        # children are ever visited.
         neg = (
             jnp.take_along_axis(rd_inv, axis[:, None], axis=1).squeeze(1) < 0.0
         )
         near = jnp.where(neg, payload, current + 1)
         far = jnp.where(neg, current + 1, payload)
-        push = is_interior
+        nmin, nmax = fetch_box(jnp.where(is_interior, near, 0))
+        fmin, fmax = fetch_box(jnp.where(is_interior, far, 0))
+        n_box, n_entry = geo.ray_bounds_entry(ro, rd_inv, nmin, nmax)
+        f_box, f_entry = geo.ray_bounds_entry(ro, rd_inv, fmin, fmax)
+        hit_n = is_interior & n_box & (n_entry <= best_t)
+        hit_f = is_interior & f_box & (f_entry <= best_t)
+
+        # push far (with its entry time) when BOTH children are live
+        push = hit_n & hit_f
         idx = jnp.clip(stack_len, 0, TRAVERSAL_STACK_DEPTH - 1)
-        stack = jnp.where(
-            push[:, None]
-            & (
-                jnp.arange(TRAVERSAL_STACK_DEPTH)[None, :] == idx[:, None]
-            ),
-            far[:, None],
-            stack,
+        one_hot = (
+            jnp.arange(TRAVERSAL_STACK_DEPTH)[None, :] == idx[:, None]
+        )
+        stack = jnp.where(push[:, None] & one_hot, far[:, None], stack)
+        tstack = jnp.where(
+            push[:, None] & one_hot, f_entry[:, None], tstack
         )
         stack_len = jnp.where(push, stack_len + 1, stack_len)
 
-        # Pop for lanes that finished this node (leaf or box miss).
-        need_pop = running & ~is_interior
+        has_child = hit_n | hit_f
+        descend = jnp.where(hit_n, near, far)
+        descend_entry = jnp.where(hit_n, n_entry, f_entry)
+
+        # Pop for lanes with no live child (finished leaf, pruned node,
+        # or both children culled).
+        need_pop = running & ~has_child
         can_pop = need_pop & (stack_len > 0)
         new_len = jnp.where(can_pop, stack_len - 1, stack_len)
-        popped = jnp.take_along_axis(
-            stack, jnp.clip(new_len, 0, TRAVERSAL_STACK_DEPTH - 1)[:, None], axis=1
-        ).squeeze(1)
+        at = jnp.clip(new_len, 0, TRAVERSAL_STACK_DEPTH - 1)[:, None]
+        popped = jnp.take_along_axis(stack, at, axis=1).squeeze(1)
+        popped_t = jnp.take_along_axis(tstack, at, axis=1).squeeze(1)
 
-        current = jnp.where(is_interior, near, jnp.where(can_pop, popped, current))
-        running = running & (is_interior | can_pop)
+        current = jnp.where(
+            has_child, descend, jnp.where(can_pop, popped, current)
+        )
+        cur_entry = jnp.where(
+            has_child, descend_entry,
+            jnp.where(can_pop, popped_t, cur_entry),
+        )
+        running = running & (has_child | can_pop)
         stack_len = new_len
 
-        return stack, stack_len, current, running, best_t, best_slot
+        return (stack, tstack, stack_len, current, cur_entry, running,
+                best_t, best_slot)
 
-    state = (stack, stack_len, current, running, best_t, best_slot)
+    state = (stack, tstack, stack_len, current, cur_entry, running,
+             best_t, best_slot)
     state = jax.lax.while_loop(cond, body, state)
-    return state[4], state[5]
+    return state[6], state[7]
 
 
 def traverse_any(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
@@ -423,37 +469,48 @@ def traverse_any(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
     stack = jnp.zeros((n, TRAVERSAL_STACK_DEPTH), jnp.int32)
     stack_len = jnp.zeros((n,), jnp.int32)
     current = jnp.zeros((n,), jnp.int32)
-    running = jnp.ones((n,), bool)
+    root_hit = geo.ray_intersects_bounds(
+        ro, rd_inv,
+        jnp.broadcast_to(bvh.nodes_min[0], (n, 3)),
+        jnp.broadcast_to(bvh.nodes_max[0], (n, 3)),
+    )
+    running = root_hit
     occluded = jnp.zeros((n,), bool)
 
     def cond(state):
         return jnp.any(state[3])
 
-    def fetch_node(current):
+    def fetch_meta(current):
         if packed:
             row = jnp.take(node_table, current, axis=0)  # (N, 9)
             return (
-                row[:, 0:3], row[:, 3:6],
                 _bitcast_i32(row[:, 6]),
                 _bitcast_i32(row[:, 7]),
                 _bitcast_i32(row[:, 8]),
             )
         return (
-            jnp.take(bvh.nodes_min, current, axis=0),
-            jnp.take(bvh.nodes_max, current, axis=0),
             jnp.take(bvh.node_payload, current),
             jnp.take(bvh.node_count, current),
             jnp.take(bvh.node_axis, current),
         )
 
+    def fetch_box(idx):
+        if packed:
+            row = jnp.take(node_table, idx, axis=0)
+            return row[:, 0:3], row[:, 3:6]
+        return (
+            jnp.take(bvh.nodes_min, idx, axis=0),
+            jnp.take(bvh.nodes_max, idx, axis=0),
+        )
+
     def body(state):
         stack, stack_len, current, running, occluded = state
 
-        bmin, bmax, payload, count, axis = fetch_node(current)
-        hit_box = geo.ray_intersects_bounds(ro, rd_inv, bmin, bmax) & running
-
-        is_leaf = hit_box & (count > 0)
-        is_interior = hit_box & (count == 0)
+        # `current` boxes were tested by their parent (see
+        # traverse_closest) — occlusion has no best-t, so no re-prune.
+        payload, count, axis = fetch_meta(current)
+        is_leaf = running & (count > 0)
+        is_interior = running & (count == 0)
 
         t, _ = _leaf_test(
             scene,
@@ -472,7 +529,16 @@ def traverse_any(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
         )
         near = jnp.where(neg, payload, current + 1)
         far = jnp.where(neg, current + 1, payload)
-        push = is_interior
+        nmin, nmax = fetch_box(jnp.where(is_interior, near, 0))
+        fmin, fmax = fetch_box(jnp.where(is_interior, far, 0))
+        hit_n = is_interior & geo.ray_intersects_bounds(
+            ro, rd_inv, nmin, nmax
+        )
+        hit_f = is_interior & geo.ray_intersects_bounds(
+            ro, rd_inv, fmin, fmax
+        )
+
+        push = hit_n & hit_f
         idx = jnp.clip(stack_len, 0, TRAVERSAL_STACK_DEPTH - 1)
         stack = jnp.where(
             push[:, None]
@@ -484,9 +550,12 @@ def traverse_any(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
         )
         stack_len = jnp.where(push, stack_len + 1, stack_len)
 
+        has_child = hit_n | hit_f
+        descend = jnp.where(hit_n, near, far)
+
         # found lanes retire outright (no pop — their stack is abandoned);
         # everyone else follows traverse_closest's pop discipline.
-        need_pop = running & ~is_interior & ~found
+        need_pop = running & ~found & ~has_child
         can_pop = need_pop & (stack_len > 0)
         new_len = jnp.where(can_pop, stack_len - 1, stack_len)
         popped = jnp.take_along_axis(
@@ -494,9 +563,9 @@ def traverse_any(scene: DeviceScene, bvh: DeviceBVH, ro, rd):
         ).squeeze(1)
 
         current = jnp.where(
-            is_interior, near, jnp.where(can_pop, popped, current)
+            has_child, descend, jnp.where(can_pop, popped, current)
         )
-        running = running & ~found & (is_interior | can_pop)
+        running = running & ~found & (has_child | can_pop)
         stack_len = new_len
 
         return stack, stack_len, current, running, occluded
