@@ -865,7 +865,7 @@ def chunk_shortlist(bounds, ray_comps, mask, sub, front_to_back=False):
         # face closest to the chunk and moves at the box's max speed;
         # mixed-sign axes (and box overlap) bound nothing (t >= 0).
         num_pos = jnp.maximum(b_lo[None, :, :] - o_hi[:, None, :], 0.0)
-        num_neg = jnp.maximum(o_lo[:, None, :] - b_hi[:, None, :], 0.0)
+        num_neg = jnp.maximum(o_lo[:, None, :] - b_hi[None, :, :], 0.0)
         den_pos = jnp.maximum(d_hi, 1e-30)[:, None, :]
         den_neg = jnp.maximum(-d_lo, 1e-30)[:, None, :]
         t_axis = jnp.where(

@@ -837,6 +837,47 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
     )
 
 
+def test_f2b_shortlist_multi_tile_negative_axis():
+    """Regression: the front-to-back entry key's negative-axis branch
+    must broadcast (T, C, 3) — a wrong axis ([:, None] on the chunk
+    bounds) crashed every MULTI-tile call (T != C) and silently keyed
+    1-tile calls off chunk 0's bound; the 1-tile kernel tests never saw
+    either (order is bit-transparent). Two tiles, three chunks, a -z
+    ray tile (neg branch) and a +z tile that reaches nothing."""
+    import jax.numpy as jnp
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
+
+    bounds = jnp.asarray(
+        [
+            # chunk 0: far (z in [-10, -9]), 1: mid, 2: near
+            [-1.0, -1.0, -10.0, 1.0, 1.0, -9.0],
+            [-1.0, -1.0, -5.0, 1.0, 1.0, -4.0],
+            [-1.0, -1.0, -2.0, 1.0, 1.0, -1.0],
+        ],
+        jnp.float32,
+    )
+
+    def tiles(vals):
+        # two tiles of SUBLANES rows each
+        return jnp.concatenate(
+            [
+                jnp.full((pint.SUBLANES, pint.LANES), v, jnp.float32)
+                for v in vals
+            ],
+            axis=0,
+        )
+
+    ro_t = (tiles([0.0, 0.0]), tiles([0.0, 0.0]), tiles([0.0, 0.0]))
+    rd_t = (tiles([0.0, 0.0]), tiles([0.0, 0.0]), tiles([-1.0, 1.0]))
+    sl, ct = pint.chunk_shortlist(
+        bounds, ro_t + rd_t, None, pint.SUBLANES, front_to_back=True
+    )
+    assert sl.shape == (2, 3) and ct.shape == (2,)
+    assert int(ct[0]) == 3 and list(np.asarray(sl)[0]) == [2, 1, 0]
+    assert int(ct[1]) == 0
+
+
 def test_f2b_tie_break_restores_index_order_winner(monkeypatch):
     """RT_SHORTLIST_F2B visits chunks nearest-first, so on an exact
     cross-chunk same-type t tie the kernel's compiled lowest-index
