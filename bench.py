@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -228,10 +229,17 @@ def run_with_retry(child_cmd, attempts, backoff_s, *, log=None):
         if proc is None:
             summary = f"attempt timed out after {attempt_timeout:.0f}s"
         else:
-            # Keep only the informative tail of stderr (the exception line).
+            # Keep only the informative tail of stderr: the last line that
+            # looks like an exception ("pkg.SomeError: msg"), not literal
+            # last-line noise like JAX's traceback-filtering notice.
             tail = [ln for ln in proc.stderr.splitlines() if ln.strip()]
+            exc_lines = [
+                ln for ln in tail
+                if re.match(r"[\w.]*\w(Error|Exception|Interrupt)\b", ln)
+            ]
+            pick = exc_lines[-1] if exc_lines else (tail[-1] if tail else "")
             summary = (
-                tail[-1][:300] if tail else f"rc={proc.returncode}, no output"
+                pick[:300] if pick else f"rc={proc.returncode}, no output"
             )
         errors.append(summary)
         log(

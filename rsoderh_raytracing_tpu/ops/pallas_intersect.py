@@ -1292,8 +1292,13 @@ def _chunked_tiles_call(
     # occlusion shortlists are always front-to-back (OR order is free);
     # the closest kernel opts in and then ALSO compiles the same-type
     # lowest-index tie-break that keeps its winner order-independent.
-    f2b = use_sl and (
-        any_only or os.environ.get("RT_SHORTLIST_F2B") == "1"
+    # RT_DISABLE_SHORTLIST_F2B=1 ablates the ordering everywhere (the
+    # entry-bound pre-pass is XLA work per shortlist build; occlusion
+    # results are order-free bitwise, so the ablation is safe).
+    f2b = (
+        use_sl
+        and os.environ.get("RT_DISABLE_SHORTLIST_F2B") != "1"
+        and (any_only or os.environ.get("RT_SHORTLIST_F2B") == "1")
     )
 
     n_ray_ins = len(comps)

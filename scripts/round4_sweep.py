@@ -99,6 +99,38 @@ CONFIGS = {
         ("suzanne_hi_group8",
          {"BENCH_SCENE": "suzanne_hi", "RT_SHORTLIST_GROUP": "8"}, 1800),
     ],
+    # lever combinations: compaction makes tiles coherent, which is
+    # exactly what the shortlist pre-pass and f2b ordering feed on —
+    # measure whether the levers stack (run after the singles)
+    "combo": [
+        # compact8 won the singles (3.82 -> 4.88 on suzanne_hi); stack
+        # the other levers on top of it
+        ("suzanne_hi_compact8_f2b",
+         {"BENCH_SCENE": "suzanne_hi", "BENCH_COMPACT": "8",
+          "RT_SHORTLIST_F2B": "1"}, 1800),
+        ("suzanne_hi_compact8_sub32",
+         {"BENCH_SCENE": "suzanne_hi", "BENCH_COMPACT": "8",
+          "RT_SWEEP_SUBLANES": "32"}, 1800),
+        ("suzanne_hi_compact8_f2b_sub32",
+         {"BENCH_SCENE": "suzanne_hi", "BENCH_COMPACT": "8",
+          "RT_SHORTLIST_F2B": "1", "RT_SWEEP_SUBLANES": "32"}, 1800),
+        ("suzanne_hi_compact8_f2b_sub16",
+         {"BENCH_SCENE": "suzanne_hi", "BENCH_COMPACT": "8",
+          "RT_SHORTLIST_F2B": "1", "RT_SWEEP_SUBLANES": "16"}, 1800),
+        ("suzanne_xhi_compact8_f2b",
+         {"BENCH_SCENE": "suzanne_xhi", "BENCH_COMPACT": "8",
+          "RT_SHORTLIST_F2B": "1"}, 2400),
+        # ablate the always-on occlusion front-to-back ordering: is the
+        # r4 suzanne_hi baseline dip (4.22 -> 3.82) the entry-bound
+        # pre-pass cost, or tunnel noise?
+        ("suzanne_hi_nof2b",
+         {"BENCH_SCENE": "suzanne_hi",
+          "RT_DISABLE_SHORTLIST_F2B": "1"}, 1800),
+        # repeat anomalous/baseline configs for variance bounds
+        ("suzanne_hi_baseline_repeat", {"BENCH_SCENE": "suzanne_hi"}, 1800),
+        ("suzanne_hi_compact16_repeat",
+         {"BENCH_SCENE": "suzanne_hi", "BENCH_COMPACT": "16"}, 1800),
+    ],
 }
 
 

@@ -114,6 +114,24 @@ def test_total_budget_stops_retries(bench, monkeypatch):
     assert any("budget" in e for e in result["attempt_errors"])
 
 
+def test_error_summary_picks_exception_line(bench):
+    # JAX appends a traceback-filtering notice AFTER the exception line;
+    # the summary must surface the exception, not the notice (seen live:
+    # a sweep failure recorded only "For simplicity, JAX has removed...").
+    result, rc = bench.run_with_retry(
+        _py("import sys;"
+            " sys.stderr.write('Traceback (most recent call last):\\n"
+            "  ...\\n"
+            "ValueError: BlockSpec shape mismatch\\n"
+            "For simplicity, JAX has removed its internal frames from the"
+            " traceback of the following exception.\\n');"
+            " sys.exit(1)"),
+        attempts=1, backoff_s=0, log=lambda m: None,
+    )
+    assert rc == 1
+    assert "BlockSpec shape mismatch" in result["error"]
+
+
 def test_child_env_flag_set(bench):
     # The wrapper must mark the child so it runs the benchmark in-process
     # instead of recursing into another retry wrapper.
