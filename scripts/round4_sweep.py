@@ -131,6 +131,24 @@ CONFIGS = {
         ("suzanne_hi_compact16_repeat",
          {"BENCH_SCENE": "suzanne_hi", "BENCH_COMPACT": "16"}, 1800),
     ],
+    # chunk-window size: r3 measured 128/256 neutral-to-worse at suzanne
+    # (16 scattered chunks, cull granularity loss). suzanne_hi under
+    # shortlists+compaction is a different regime: halving/quartering the
+    # 242 grid steps cuts per-step overhead where coherent tiles already
+    # cull, and Morton chunks stay spatially tight at 128 rows.
+    "chunksize": [
+        ("suzanne_hi_tc128",
+         {"BENCH_SCENE": "suzanne_hi", "RT_TRI_CHUNK": "128"}, 1800),
+        ("suzanne_hi_tc128_compact8",
+         {"BENCH_SCENE": "suzanne_hi", "RT_TRI_CHUNK": "128",
+          "BENCH_COMPACT": "8"}, 1800),
+        ("suzanne_hi_tc256_compact8",
+         {"BENCH_SCENE": "suzanne_hi", "RT_TRI_CHUNK": "256",
+          "BENCH_COMPACT": "8"}, 1800),
+        ("suzanne_hi_group4_compact8",
+         {"BENCH_SCENE": "suzanne_hi", "RT_SHORTLIST_GROUP": "4",
+          "BENCH_COMPACT": "8"}, 1800),
+    ],
 }
 
 
