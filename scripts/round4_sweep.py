@@ -148,6 +148,12 @@ CONFIGS = {
         ("suzanne_hi_group4_compact8",
          {"BENCH_SCENE": "suzanne_hi", "RT_SHORTLIST_GROUP": "4",
           "BENCH_COMPACT": "8"}, 1800),
+        # longer per-call budget: if the winning combo shortens the
+        # iteration, more of the 2-min RPC window amortizes the drain
+        # tail + per-call sync (house measured 256->1024 iters = +3%)
+        ("suzanne_hi_best_iters32",
+         {"BENCH_SCENE": "suzanne_hi", "BENCH_COMPACT": "8",
+          "BENCH_ITERS": "32"}, 1800),
     ],
 }
 
