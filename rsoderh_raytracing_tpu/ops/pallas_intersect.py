@@ -44,15 +44,13 @@ BLOCK = SUBLANES * LANES  # rays per grid step
 MAX_UNROLL_PRIMS = 192  # unrolled loop budget (house: 72, default: 40)
 MAX_LOOP_PRIMS = 2048  # fori_loop + dynamic SMEM reads (suzanne: 976)
 # Chunked-grid ceiling: the only per-scene SMEM resident that grows with
-# triangle count is the (n_chunks, 6) chunk-AABB table — 24 B/chunk, so
-# 262144 triangles (4096 chunks) cost 96 KB of the 1 MB SMEM budget; the
-# per-chunk constant windows are streamed and size-invariant. Round 3
-# set 65536 conservatively; round 4 raised it on that SMEM math plus
-# interpret-mode routing/parity coverage, with the 247,808-triangle
-# suzanne_xhi asset (3,872 chunks) staged for the hardware
-# compile+measure pass — PERFORMANCE.md records the measured O(P) cost
-# at that scale once the sweep runs. Scenes beyond this fall (loudly —
-# see render/wavefront.py) to the composed XLA sweep.
+# triangle count is the chunk-AABB table, passed TRANSPOSED as
+# (6, n_chunks) because SMEM allocates 2D arrays at >= 512 B per ROW
+# (measured on this toolchain: row-major (3872, 6) allocates 1.9 MB and
+# fails the 1 MB compile; transposed it costs 6 rows x 4 B/chunk =
+# ~93 KB at 4096 chunks). The per-chunk constant windows are streamed
+# and size-invariant. Scenes beyond this fall (loudly — see
+# render/wavefront.py) to the composed XLA sweep.
 MAX_CHUNKED_TRIS = 262144
 # Spheres stream as chunk windows too (same grid, same AABB culls) when
 # the sphere+plane unroll no longer fits the per-step budget — the
@@ -408,7 +406,12 @@ def _sweep_body_loop(n_sph, n_pln, n_tri, refs, ox, oy, oz, dx, dy, dz):
 
 def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz, t_max=None):
     """Conservative per-lane chunk-AABB slab test (NaN -> hit): which
-    lanes possibly touch chunk `cidx`'s bounds? Padded-origin vertices
+    lanes possibly touch chunk `cidx`'s bounds? `bounds_ref` is the
+    TRANSPOSED (6, n_chunks) SMEM table — SMEM allocates 2D arrays at
+    >= 512 B per ROW (measured: a (3872, 6) f32 table allocates 1.9 MB,
+    not 93 KB, and blows the 1 MB budget), so the constant tables keep
+    their row count fixed and grow along the lane axis.
+    Padded-origin vertices
     only ever ENLARGE bounds, so the cull never drops a triangle the
     dense sweep would find. Optional per-lane `t_max` (the running best
     hit) additionally rejects chunks whose slab ENTRY lies beyond it —
@@ -441,9 +444,9 @@ def chunk_slab_mask(bounds_ref, cidx, ox, oy, oz, dx, dy, dz, t_max=None):
         t_hi = jnp.where(jnp.isnan(t_hi), INF, t_hi)
         return t_lo, t_hi
 
-    l0, h0 = axis_slab(ox, dx, bounds_ref[cidx, 0], bounds_ref[cidx, 3])
-    l1, h1 = axis_slab(oy, dy, bounds_ref[cidx, 1], bounds_ref[cidx, 4])
-    l2, h2 = axis_slab(oz, dz, bounds_ref[cidx, 2], bounds_ref[cidx, 5])
+    l0, h0 = axis_slab(ox, dx, bounds_ref[0, cidx], bounds_ref[3, cidx])
+    l1, h1 = axis_slab(oy, dy, bounds_ref[1, cidx], bounds_ref[4, cidx])
+    l2, h2 = axis_slab(oz, dz, bounds_ref[2, cidx], bounds_ref[5, cidx])
     t0 = jnp.maximum(jnp.maximum(l0, l1), jnp.maximum(l2, 0.0))
     t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
     hit = t0 <= t1
@@ -458,7 +461,9 @@ def chunk_slab_any(bounds_ref, cidx, ox, oy, oz, dx, dy, dz):
 
 
 # Consolidated per-triangle constant columns: the chunked kernels stream
-# ONE (TRI_CHUNK, TRI_COLS) SMEM window per chunk instead of 8 separate
+# ONE (TRI_COLS, TRI_CHUNK) SMEM window per chunk (transposed — SMEM
+# rows pad to 512 B, so the layout keeps TRI_COLS rows and grows along
+# the row axis) instead of 8 separate
 # arrays — 8 window DMAs per grid step collapse to 1 (measured: the
 # per-step overhead, not the 64-triangle sweep, dominated the chunked
 # kernels' time; see PERFORMANCE.md round 3).
@@ -531,19 +536,20 @@ def sphere_chunk_bounds(scene):
 
 def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz, row0=0):
     """Yield (i, t, hit) for each of a window's TRI_CHUNK spheres — the
-    exact _sweep_body sphere test on the consolidated SMEM window ref
-    (same robust q-form, same epsilons). `row0` (static) offsets into a
-    multi-chunk GROUP window (grouped shortlists)."""
+    exact _sweep_body sphere test on the consolidated TRANSPOSED SMEM
+    window ref (same robust q-form, same epsilons). `row0` (static or
+    traced) offsets into a multi-chunk GROUP window (grouped
+    shortlists)."""
     a_q = dx * dx + dy * dy + dz * dz
     d_dot_o = dx * ox + dy * oy + dz * oz
     o_dot_o = ox * ox + oy * oy + oz * oz
     for j in range(TRI_CHUNK):
         i = row0 + j
-        cx = win_ref[i, SC_POS]
-        cy = win_ref[i, SC_POS + 1]
-        cz = win_ref[i, SC_POS + 2]
+        cx = win_ref[SC_POS, i]
+        cy = win_ref[SC_POS + 1, i]
+        cz = win_ref[SC_POS + 2, i]
         b = 2.0 * (d_dot_o - (dx * cx + dy * cy + dz * cz))
-        c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + win_ref[i, SC_C2]
+        c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + win_ref[SC_C2, i]
         disc = b * b - 4.0 * a_q * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         q = jnp.where(b > 0, -0.5 * (b + sq), -0.5 * (b - sq))
@@ -558,7 +564,7 @@ def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz, row0=0):
         hit = (
             (disc >= 0.0)
             & (t >= geo.SPHERE_EPS)
-            & (win_ref[i, SC_VALID] > 0)
+            & (win_ref[SC_VALID, i] > 0)
         )
         yield j, t, hit
 
@@ -566,7 +572,8 @@ def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz, row0=0):
 def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
     """Yield (i, t, hit) for each of a chunk window's TRI_CHUNK triangles
     — the same expanded-triple-product test as _sweep_body, on the
-    consolidated (TRI_CHUNK, TRI_COLS) SMEM window ref. `row0` (static)
+    consolidated TRANSPOSED (TRI_COLS, win_rows) SMEM window ref. `row0`
+    (static when the group sweep unrolls, traced under its fori_loop)
     offsets into a multi-chunk GROUP window (grouped shortlists); the
     yielded index stays within-chunk (0..TRI_CHUNK-1)."""
     mx = oy * dz - oz * dy
@@ -575,43 +582,43 @@ def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
     for j in range(TRI_CHUNK):
         i = row0 + j
         det = (
-            dx * tri_ref[i, C_CDET]
-            + dy * tri_ref[i, C_CDET + 1]
-            + dz * tri_ref[i, C_CDET + 2]
+            dx * tri_ref[C_CDET, i]
+            + dy * tri_ref[C_CDET + 1, i]
+            + dz * tri_ref[C_CDET + 2, i]
         )
         ok = jnp.abs(det) >= geo.TRI_DET_EPS
         inv = 1.0 / jnp.where(ok, det, 1.0)
         u = (
             (
-                mx * tri_ref[i, C_E1]
-                + my * tri_ref[i, C_E1 + 1]
-                + mz * tri_ref[i, C_E1 + 2]
+                mx * tri_ref[C_E1, i]
+                + my * tri_ref[C_E1 + 1, i]
+                + mz * tri_ref[C_E1 + 2, i]
             )
             + (
-                dx * tri_ref[i, C_CU]
-                + dy * tri_ref[i, C_CU + 1]
-                + dz * tri_ref[i, C_CU + 2]
+                dx * tri_ref[C_CU, i]
+                + dy * tri_ref[C_CU + 1, i]
+                + dz * tri_ref[C_CU + 2, i]
             )
         ) * inv
         v = -(
             (
-                mx * tri_ref[i, C_E0]
-                + my * tri_ref[i, C_E0 + 1]
-                + mz * tri_ref[i, C_E0 + 2]
+                mx * tri_ref[C_E0, i]
+                + my * tri_ref[C_E0 + 1, i]
+                + mz * tri_ref[C_E0 + 2, i]
             )
             + (
-                dx * tri_ref[i, C_CV]
-                + dy * tri_ref[i, C_CV + 1]
-                + dz * tri_ref[i, C_CV + 2]
+                dx * tri_ref[C_CV, i]
+                + dy * tri_ref[C_CV + 1, i]
+                + dz * tri_ref[C_CV + 2, i]
             )
         ) * inv
         t = (
             (
-                ox * tri_ref[i, C_N]
-                + oy * tri_ref[i, C_N + 1]
-                + oz * tri_ref[i, C_N + 2]
+                ox * tri_ref[C_N, i]
+                + oy * tri_ref[C_N + 1, i]
+                + oz * tri_ref[C_N + 2, i]
             )
-            - tri_ref[i, C_ADOTN]
+            - tri_ref[C_ADOTN, i]
         ) * inv
         hit = (
             ok
@@ -620,7 +627,7 @@ def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t >= geo.TRI_T_EPS)
-            & (tri_ref[i, C_VALID] > 0)
+            & (tri_ref[C_VALID, i] > 0)
         )
         yield j, t, hit
 
@@ -635,48 +642,48 @@ def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
     boundary (ulp-scale bands — the same rare class as the documented
     fma-contraction trajectory flips). Occlusion needs no t value, so
     the per-triangle divide disappears entirely. Consumes the
-    consolidated (TRI_CHUNK, TRI_COLS) SMEM window ref. `row0`
-    (static) offsets into a multi-chunk GROUP window."""
+    consolidated TRANSPOSED (TRI_COLS, win_rows) SMEM window ref.
+    `row0` (static or traced) offsets into a multi-chunk GROUP window."""
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
     for j in range(TRI_CHUNK):
         i = row0 + j
         det = (
-            dx * tri_ref[i, C_CDET]
-            + dy * tri_ref[i, C_CDET + 1]
-            + dz * tri_ref[i, C_CDET + 2]
+            dx * tri_ref[C_CDET, i]
+            + dy * tri_ref[C_CDET + 1, i]
+            + dz * tri_ref[C_CDET + 2, i]
         )
         adet = jnp.abs(det)
         neg = det < 0.0
         un = (
-            mx * tri_ref[i, C_E1]
-            + my * tri_ref[i, C_E1 + 1]
-            + mz * tri_ref[i, C_E1 + 2]
+            mx * tri_ref[C_E1, i]
+            + my * tri_ref[C_E1 + 1, i]
+            + mz * tri_ref[C_E1 + 2, i]
         ) + (
-            dx * tri_ref[i, C_CU]
-            + dy * tri_ref[i, C_CU + 1]
-            + dz * tri_ref[i, C_CU + 2]
+            dx * tri_ref[C_CU, i]
+            + dy * tri_ref[C_CU + 1, i]
+            + dz * tri_ref[C_CU + 2, i]
         )
         un = jnp.where(neg, -un, un)
         vn = -(
             (
-                mx * tri_ref[i, C_E0]
-                + my * tri_ref[i, C_E0 + 1]
-                + mz * tri_ref[i, C_E0 + 2]
+                mx * tri_ref[C_E0, i]
+                + my * tri_ref[C_E0 + 1, i]
+                + mz * tri_ref[C_E0 + 2, i]
             )
             + (
-                dx * tri_ref[i, C_CV]
-                + dy * tri_ref[i, C_CV + 1]
-                + dz * tri_ref[i, C_CV + 2]
+                dx * tri_ref[C_CV, i]
+                + dy * tri_ref[C_CV + 1, i]
+                + dz * tri_ref[C_CV + 2, i]
             )
         )
         vn = jnp.where(neg, -vn, vn)
         tn = (
-            ox * tri_ref[i, C_N]
-            + oy * tri_ref[i, C_N + 1]
-            + oz * tri_ref[i, C_N + 2]
-        ) - tri_ref[i, C_ADOTN]
+            ox * tri_ref[C_N, i]
+            + oy * tri_ref[C_N + 1, i]
+            + oz * tri_ref[C_N + 2, i]
+        ) - tri_ref[C_ADOTN, i]
         tn = jnp.where(neg, -tn, tn)
         yield (
             (adet >= geo.TRI_DET_EPS)
@@ -685,7 +692,7 @@ def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
             & (vn >= 0.0)
             & (un + vn <= adet)
             & (tn >= geo.TRI_T_EPS * adet)
-            & (tri_ref[i, C_VALID] > 0)
+            & (tri_ref[C_VALID, i] > 0)
         )
 
 
@@ -718,15 +725,32 @@ SHORTLIST_SMEM_BUDGET = 512 * 1024
 # G. The cap bounds the unrolled kernel body (G*TRI_CHUNK primitive
 # tests) and the double-buffered window (2*G*TRI_CHUNK*TRI_COLS*4 =
 # 196 KB at 16).
-MAX_SHORTLIST_GROUP = 16
+MAX_SHORTLIST_GROUP = 32
+# Grouped sub-chunk sweeps UNROLL up to this group size and run as an
+# in-kernel fori_loop (dynamic SMEM window offsets — same mechanism as
+# the dynamic sl_ref/bounds_ref reads) beyond it: Mosaic allocates the
+# unrolled body's live vector temporaries on the scoped-VMEM stack, and
+# past ~2 chunks of unrolled rows that stack blows the 16 MB limit
+# (measured: TRI_CHUNK=128 with shortlists needs 21.46 MB). The loop
+# caps the stack at ONE chunk's live set whatever the group size.
+GROUP_UNROLL_MAX = 4
+
+
+def _smem_row_bytes(nbytes: int) -> int:
+    """SMEM allocates 2D arrays at >= 512 B per row, rounded up to 512 B
+    multiples (measured: a (3872, 6) f32 table allocates exactly
+    3872 x 512 B). Capacity math must use this, not the tight size."""
+    return max(-(-nbytes // 512) * 512, 512)
 
 
 def _shortlist_group(n_chunks: int, n_tiles: int) -> int:
     """Chunks per shortlist entry: 0 = no shortlist (plain grid), 1 =
     flat per-chunk shortlist, G > 1 = grouped (grid step = G chunks).
-    Smallest group whose (T, ceil(C/G)) i32 list fits the SMEM budget.
-    RT_SHORTLIST_GROUP=G forces a size (testing/ablation);
-    RT_DISABLE_GROUP_SHORTLIST=1 allows only the flat list."""
+    Smallest group whose (T, ceil(C/G)) i32 list fits the SMEM budget
+    at the ALLOCATED row size (_smem_row_bytes — each of the T tile
+    rows pads to a 512 B multiple). RT_SHORTLIST_GROUP=G forces a size
+    (testing/ablation); RT_DISABLE_GROUP_SHORTLIST=1 allows only the
+    flat list."""
     if os.environ.get("RT_DISABLE_SHORTLIST") == "1":
         return 0
     if n_chunks <= SHORTLIST_MIN_CHUNKS:
@@ -737,7 +761,7 @@ def _shortlist_group(n_chunks: int, n_tiles: int) -> int:
     g = 1
     while g <= MAX_SHORTLIST_GROUP:
         n_entries = -(-n_chunks // g)
-        if n_tiles * n_entries * 4 <= SHORTLIST_SMEM_BUDGET:
+        if n_tiles * _smem_row_bytes(n_entries * 4) <= SHORTLIST_SMEM_BUDGET:
             return g
         if os.environ.get("RT_DISABLE_GROUP_SHORTLIST") == "1":
             return 0
@@ -1062,14 +1086,28 @@ def _chunked_closest_kernel(
         else:
             # grouped shortlist: this grid step's window carries `group`
             # consecutive chunks; sweep each behind its own slab cull
-            # (and its own best-t bound — earlier sub-chunks tighten it)
+            # (and its own best-t bound — earlier sub-chunks tighten it).
+            # Small groups unroll; large ones loop (GROUP_UNROLL_MAX —
+            # the unrolled VMEM stack, not SMEM, is the binding limit).
             jg = sl_ref[ti, j]
-            for kk in range(group):
-                jc = jg * group + kk
+            if group <= GROUP_UNROLL_MAX:
+                for kk in range(group):
+                    jc = jg * group + kk
 
-                @pl.when(jc < n_chunks)  # last group may pad past C
-                def _(jc=jc, kk=kk):
-                    sweep_if_any_lane_survives(jc, kk * TRI_CHUNK)
+                    @pl.when(jc < n_chunks)  # last group may pad past C
+                    def _(jc=jc, kk=kk):
+                        sweep_if_any_lane_survives(jc, kk * TRI_CHUNK)
+            else:
+                def group_body(kk, carry):
+                    jc = jg * group + kk
+
+                    @pl.when(jc < n_chunks)  # last group may pad past C
+                    def _():
+                        sweep_if_any_lane_survives(jc, kk * TRI_CHUNK)
+
+                    return carry
+
+                jax.lax.fori_loop(0, group, group_body, jnp.int32(0))
 
     if use_sl:
         # padded steps (j >= count) skip even the slab eval
@@ -1175,12 +1213,24 @@ def _chunked_any_kernel(
             # grouped shortlist: see _chunked_closest_kernel; earlier
             # sub-chunks' occlusion writes feed later sub-chunks' culls
             jg = sl_ref[ti, j]
-            for kk in range(group):
-                jc = jg * group + kk
+            if group <= GROUP_UNROLL_MAX:
+                for kk in range(group):
+                    jc = jg * group + kk
 
-                @pl.when(jc < n_chunks)  # last group may pad past C
-                def _(jc=jc, kk=kk):
-                    sweep_if_any_lane_survives(jc, kk * TRI_CHUNK)
+                    @pl.when(jc < n_chunks)  # last group may pad past C
+                    def _(jc=jc, kk=kk):
+                        sweep_if_any_lane_survives(jc, kk * TRI_CHUNK)
+            else:
+                def group_body(kk, carry):
+                    jc = jg * group + kk
+
+                    @pl.when(jc < n_chunks)  # last group may pad past C
+                    def _():
+                        sweep_if_any_lane_survives(jc, kk * TRI_CHUNK)
+
+                    return carry
+
+                jax.lax.fori_loop(0, group, group_body, jnp.int32(0))
 
     if use_sl:
         # padded steps (j >= count) skip even the slab eval
@@ -1327,8 +1377,13 @@ def _chunked_tiles_call(
     # only in the index-map arity (prefetch operands are appended to the
     # map signature) and the two prefetched shortlist arguments. Grouped
     # shortlists (group > 1) list GROUP indices over union AABBs, fetch
-    # (group*TRI_CHUNK)-row windows, and shrink the chunk grid axis to
-    # ceil(C/group).
+    # (group*TRI_CHUNK)-COLUMN windows, and shrink the chunk grid axis
+    # to ceil(C/group).
+    # Both growing constant tables enter the kernel TRANSPOSED —
+    # (6, n_chunks) bounds, (TRI_COLS, n_rows) window source — because
+    # SMEM allocates 2D arrays at >= 512 B per ROW (measured: the
+    # row-major (3872, 6) bounds table allocates 1.9 MB and fails the
+    # 1 MB compile; transposed it costs its true ~93 KB).
     win_rows = max(group, 1) * TRI_CHUNK
     if use_sl:
         n_entries = -(-n_chunks // group)
@@ -1347,23 +1402,23 @@ def _chunked_tiles_call(
                 [tri_const, jnp.zeros((pad_rows, TRI_COLS), jnp.float32)],
                 axis=0,
             )
-        tri_index = lambda i, j, sl_, ct_: (sl_[i, j], 0)  # noqa: E731
+        tri_index = lambda i, j, sl_, ct_: (0, sl_[i, j])  # noqa: E731
         ray_index = lambda i, j, sl_, ct_: (i, 0)  # noqa: E731
         grid_chunks = n_entries
     else:
-        tri_index = lambda i, j: (j, 0)  # noqa: E731
+        tri_index = lambda i, j: (0, j)  # noqa: E731
         ray_index = lambda i, j: (i, 0)  # noqa: E731
         grid_chunks = n_chunks
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec(
-        (win_rows, TRI_COLS), tri_index, memory_space=pltpu.SMEM
+        (TRI_COLS, win_rows), tri_index, memory_space=pltpu.SMEM
     )
     ray_block = pl.BlockSpec(
         (sub, LANES), ray_index, memory_space=pltpu.VMEM
     )
     in_specs = [smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins
     out_specs = tuple(ray_block for _ in out_dtypes)
-    operands = (bounds, *small_refs, tri_const, *comps)
+    operands = (bounds.T, *small_refs, tri_const.T, *comps)
 
     if use_sl:
         grid_spec = pltpu.PrefetchScalarGridSpec(

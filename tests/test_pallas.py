@@ -337,7 +337,9 @@ def test_divfree_occlusion_predicates_adversarial():
     n = np.cross(e0, e1).astype(np.float32)
     adotn = (a * n).sum(-1).astype(np.float32)
 
-    # consolidated (TRI_CHUNK, TRI_COLS) window (pallas_intersect layout)
+    # consolidated TRANSPOSED (TRI_COLS, TRI_CHUNK) window — the
+    # pallas_intersect layout (SMEM rows pad to 512 B, so constant
+    # tables keep TRI_COLS rows and grow along the lane axis)
     tri_refs = np.concatenate(
         [
             cdet, e0, e1, cu, cv, n,
@@ -345,7 +347,7 @@ def test_divfree_occlusion_predicates_adversarial():
             valid.astype(np.float32).reshape(TRI_CHUNK, 1),
         ],
         axis=1,
-    ).astype(np.float32)
+    ).astype(np.float32).T.copy()
 
     # Rays: aimed near triangle interiors/edges (barycentric samples
     # around the [0,1] boundaries) plus axis-parallel directions.
@@ -745,10 +747,17 @@ def test_shortlist_grid_bit_identical(monkeypatch, assets_dir):
     assert pint._use_shortlist(n_chunks, grid_rays)
     # The shortlist itself lives in SMEM; past the budget the call must
     # leave the FLAT list (it now groups chunks instead — tested below)
-    # rather than blow the 1 MB compile.
-    too_many_tiles = pint.SHORTLIST_SMEM_BUDGET // (4 * n_chunks) + 1
+    # rather than blow the 1 MB compile. Budget math uses the ALLOCATED
+    # row size: SMEM pads each of the T tile rows to a 512 B multiple.
+    too_many_tiles = (
+        pint.SHORTLIST_SMEM_BUDGET // pint._smem_row_bytes(4 * n_chunks) + 1
+    )
     assert not pint._use_shortlist(n_chunks, too_many_tiles)
-    assert pint._shortlist_group(n_chunks, too_many_tiles) == 2
+    grouped = pint._shortlist_group(n_chunks, too_many_tiles)
+    assert grouped > 1
+    assert too_many_tiles * pint._smem_row_bytes(
+        4 * (-(-n_chunks // grouped))
+    ) <= pint.SHORTLIST_SMEM_BUDGET
 
     with_sl = [
         np.asarray(x)
