@@ -534,22 +534,29 @@ def sphere_chunk_bounds(scene):
     return jnp.concatenate([lo - eps, hi + eps], axis=-1)
 
 
-def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz, row0=0):
+def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz, row0=0,
+                   transposed=True):
     """Yield (i, t, hit) for each of a window's TRI_CHUNK spheres — the
-    exact _sweep_body sphere test on the consolidated TRANSPOSED SMEM
-    window ref (same robust q-form, same epsilons). `row0` (static or
-    traced) offsets into a multi-chunk GROUP window (grouped
-    shortlists)."""
+    exact _sweep_body sphere test on the consolidated SMEM window ref
+    (same robust q-form, same epsilons). `transposed` (static) selects
+    the window orientation: (SPH_COLS, rows) when the window width is a
+    128-multiple (grouped — Mosaic's blocked-spec rule), row-major
+    (rows, SPH_COLS) otherwise. `row0` (static or traced) offsets into
+    a multi-chunk GROUP window (grouped shortlists)."""
+    if transposed:
+        rd = lambda c, i: win_ref[c, i]  # noqa: E731
+    else:
+        rd = lambda c, i: win_ref[i, c]  # noqa: E731
     a_q = dx * dx + dy * dy + dz * dz
     d_dot_o = dx * ox + dy * oy + dz * oz
     o_dot_o = ox * ox + oy * oy + oz * oz
     for j in range(TRI_CHUNK):
         i = row0 + j
-        cx = win_ref[SC_POS, i]
-        cy = win_ref[SC_POS + 1, i]
-        cz = win_ref[SC_POS + 2, i]
+        cx = rd(SC_POS, i)
+        cy = rd(SC_POS + 1, i)
+        cz = rd(SC_POS + 2, i)
         b = 2.0 * (d_dot_o - (dx * cx + dy * cy + dz * cz))
-        c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + win_ref[SC_C2, i]
+        c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + rd(SC_C2, i)
         disc = b * b - 4.0 * a_q * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         q = jnp.where(b > 0, -0.5 * (b + sq), -0.5 * (b - sq))
@@ -564,61 +571,68 @@ def sph_chunk_hits(win_ref, ox, oy, oz, dx, dy, dz, row0=0):
         hit = (
             (disc >= 0.0)
             & (t >= geo.SPHERE_EPS)
-            & (win_ref[SC_VALID, i] > 0)
+            & (rd(SC_VALID, i) > 0)
         )
         yield j, t, hit
 
 
-def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
+def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz, row0=0,
+                   transposed=True):
     """Yield (i, t, hit) for each of a chunk window's TRI_CHUNK triangles
     — the same expanded-triple-product test as _sweep_body, on the
-    consolidated TRANSPOSED (TRI_COLS, win_rows) SMEM window ref. `row0`
+    consolidated SMEM window ref: TRANSPOSED (TRI_COLS, win_rows) when
+    `transposed` (static), row-major (win_rows, TRI_COLS) otherwise
+    (see _chunked_tiles_call for the orientation rule). `row0`
     (static when the group sweep unrolls, traced under its fori_loop)
     offsets into a multi-chunk GROUP window (grouped shortlists); the
     yielded index stays within-chunk (0..TRI_CHUNK-1)."""
+    if transposed:
+        rd = lambda c, i: tri_ref[c, i]  # noqa: E731
+    else:
+        rd = lambda c, i: tri_ref[i, c]  # noqa: E731
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
     for j in range(TRI_CHUNK):
         i = row0 + j
         det = (
-            dx * tri_ref[C_CDET, i]
-            + dy * tri_ref[C_CDET + 1, i]
-            + dz * tri_ref[C_CDET + 2, i]
+            dx * rd(C_CDET, i)
+            + dy * rd(C_CDET + 1, i)
+            + dz * rd(C_CDET + 2, i)
         )
         ok = jnp.abs(det) >= geo.TRI_DET_EPS
         inv = 1.0 / jnp.where(ok, det, 1.0)
         u = (
             (
-                mx * tri_ref[C_E1, i]
-                + my * tri_ref[C_E1 + 1, i]
-                + mz * tri_ref[C_E1 + 2, i]
+                mx * rd(C_E1, i)
+                + my * rd(C_E1 + 1, i)
+                + mz * rd(C_E1 + 2, i)
             )
             + (
-                dx * tri_ref[C_CU, i]
-                + dy * tri_ref[C_CU + 1, i]
-                + dz * tri_ref[C_CU + 2, i]
+                dx * rd(C_CU, i)
+                + dy * rd(C_CU + 1, i)
+                + dz * rd(C_CU + 2, i)
             )
         ) * inv
         v = -(
             (
-                mx * tri_ref[C_E0, i]
-                + my * tri_ref[C_E0 + 1, i]
-                + mz * tri_ref[C_E0 + 2, i]
+                mx * rd(C_E0, i)
+                + my * rd(C_E0 + 1, i)
+                + mz * rd(C_E0 + 2, i)
             )
             + (
-                dx * tri_ref[C_CV, i]
-                + dy * tri_ref[C_CV + 1, i]
-                + dz * tri_ref[C_CV + 2, i]
+                dx * rd(C_CV, i)
+                + dy * rd(C_CV + 1, i)
+                + dz * rd(C_CV + 2, i)
             )
         ) * inv
         t = (
             (
-                ox * tri_ref[C_N, i]
-                + oy * tri_ref[C_N + 1, i]
-                + oz * tri_ref[C_N + 2, i]
+                ox * rd(C_N, i)
+                + oy * rd(C_N + 1, i)
+                + oz * rd(C_N + 2, i)
             )
-            - tri_ref[C_ADOTN, i]
+            - rd(C_ADOTN, i)
         ) * inv
         hit = (
             ok
@@ -627,12 +641,13 @@ def tri_chunk_hits(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t >= geo.TRI_T_EPS)
-            & (tri_ref[C_VALID, i] > 0)
+            & (rd(C_VALID, i) > 0)
         )
         yield j, t, hit
 
 
-def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
+def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz, row0=0,
+                       transposed=True):
     """Yield hit-only masks for a chunk window, DIVISION-FREE: every
     quotient comparison of tri_chunk_hits is replaced by its sign-scaled
     numerator form (u >= 0  <=>  u_num*sign(det) >= 0;  u <= 1  <=>
@@ -642,48 +657,53 @@ def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
     boundary (ulp-scale bands — the same rare class as the documented
     fma-contraction trajectory flips). Occlusion needs no t value, so
     the per-triangle divide disappears entirely. Consumes the
-    consolidated TRANSPOSED (TRI_COLS, win_rows) SMEM window ref.
-    `row0` (static or traced) offsets into a multi-chunk GROUP window."""
+    consolidated SMEM window ref in either orientation (`transposed`
+    static — see tri_chunk_hits). `row0` (static or traced) offsets
+    into a multi-chunk GROUP window."""
+    if transposed:
+        rd = lambda c, i: tri_ref[c, i]  # noqa: E731
+    else:
+        rd = lambda c, i: tri_ref[i, c]  # noqa: E731
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
     for j in range(TRI_CHUNK):
         i = row0 + j
         det = (
-            dx * tri_ref[C_CDET, i]
-            + dy * tri_ref[C_CDET + 1, i]
-            + dz * tri_ref[C_CDET + 2, i]
+            dx * rd(C_CDET, i)
+            + dy * rd(C_CDET + 1, i)
+            + dz * rd(C_CDET + 2, i)
         )
         adet = jnp.abs(det)
         neg = det < 0.0
         un = (
-            mx * tri_ref[C_E1, i]
-            + my * tri_ref[C_E1 + 1, i]
-            + mz * tri_ref[C_E1 + 2, i]
+            mx * rd(C_E1, i)
+            + my * rd(C_E1 + 1, i)
+            + mz * rd(C_E1 + 2, i)
         ) + (
-            dx * tri_ref[C_CU, i]
-            + dy * tri_ref[C_CU + 1, i]
-            + dz * tri_ref[C_CU + 2, i]
+            dx * rd(C_CU, i)
+            + dy * rd(C_CU + 1, i)
+            + dz * rd(C_CU + 2, i)
         )
         un = jnp.where(neg, -un, un)
         vn = -(
             (
-                mx * tri_ref[C_E0, i]
-                + my * tri_ref[C_E0 + 1, i]
-                + mz * tri_ref[C_E0 + 2, i]
+                mx * rd(C_E0, i)
+                + my * rd(C_E0 + 1, i)
+                + mz * rd(C_E0 + 2, i)
             )
             + (
-                dx * tri_ref[C_CV, i]
-                + dy * tri_ref[C_CV + 1, i]
-                + dz * tri_ref[C_CV + 2, i]
+                dx * rd(C_CV, i)
+                + dy * rd(C_CV + 1, i)
+                + dz * rd(C_CV + 2, i)
             )
         )
         vn = jnp.where(neg, -vn, vn)
         tn = (
-            ox * tri_ref[C_N, i]
-            + oy * tri_ref[C_N + 1, i]
-            + oz * tri_ref[C_N + 2, i]
-        ) - tri_ref[C_ADOTN, i]
+            ox * rd(C_N, i)
+            + oy * rd(C_N + 1, i)
+            + oz * rd(C_N + 2, i)
+        ) - rd(C_ADOTN, i)
         tn = jnp.where(neg, -tn, tn)
         yield (
             (adet >= geo.TRI_DET_EPS)
@@ -692,7 +712,7 @@ def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz, row0=0):
             & (vn >= 0.0)
             & (un + vn <= adet)
             & (tn >= geo.TRI_T_EPS * adet)
-            & (tri_ref[C_VALID, i] > 0)
+            & (rd(C_VALID, i) > 0)
         )
 
 
@@ -925,7 +945,7 @@ def chunk_shortlist(bounds, ray_comps, mask, sub, front_to_back=False):
 
 def _chunked_closest_kernel(
     n_sph, n_pln, n_tri_chunks, n_sph_chunks, use_live, use_sl,
-    tie_break, group, *args
+    tie_break, group, win_t, *args
 ):
     """Grid (ray_blocks, chunks): out blocks are revisited across the
     chunk axis (innermost), accumulating the closest hit; the unrolled
@@ -1008,7 +1028,7 @@ def _chunked_closest_kernel(
         base = jc * TRI_CHUNK
 
         for i, t, hit in tri_chunk_hits(
-            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0
+            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0, transposed=win_t
         ):
             better = hit & (t < best_t)
             if tie_break:
@@ -1033,7 +1053,7 @@ def _chunked_closest_kernel(
         base = (jc - n_tri_chunks) * TRI_CHUNK
 
         for i, t, hit in sph_chunk_hits(
-            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0
+            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0, transposed=win_t
         ):
             # equal-t override of REAL non-sphere incumbents (> 0: the
             # type -1 miss sentinel is never overridden): see docstring
@@ -1120,7 +1140,7 @@ def _chunked_closest_kernel(
 
 def _chunked_any_kernel(
     n_sph, n_pln, n_tri_chunks, n_sph_chunks, use_mask, use_sl,
-    group, *args
+    group, win_t, *args
 ):
     """Occlusion-only variant of _chunked_closest_kernel: the same hit
     conditions and chunk-AABB cull, OR-accumulated into one i32 output —
@@ -1169,7 +1189,7 @@ def _chunked_any_kernel(
     def tri_window_sweep(row0):
         occ = occ_ref[:] != 0
         for hit in tri_chunk_occluded(
-            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0
+            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0, transposed=win_t
         ):
             occ = occ | hit
         occ_ref[:] = occ.astype(jnp.int32)
@@ -1177,7 +1197,7 @@ def _chunked_any_kernel(
     def sph_window_sweep(row0):
         occ = occ_ref[:] != 0
         for _, _, hit in sph_chunk_hits(
-            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0
+            tri_ref, ox, oy, oz, dx, dy, dz, row0=row0, transposed=win_t
         ):
             occ = occ | hit
         occ_ref[:] = occ.astype(jnp.int32)
@@ -1351,18 +1371,29 @@ def _chunked_tiles_call(
         and (any_only or os.environ.get("RT_SHORTLIST_F2B") == "1")
     )
 
+    # Window orientation: Mosaic's blocked-spec rule requires the LAST
+    # block dim to be a 128-multiple or equal to the full array dim, so
+    # the TRANSPOSED (TRI_COLS, win_rows) window — which is what makes
+    # huge grouped windows affordable under the SMEM 512 B/row
+    # allocation — is only legal when win_rows % 128 == 0 (grouped
+    # G >= 2). Narrow windows (plain grid / flat shortlist, 64 columns)
+    # keep the row-major (win_rows, TRI_COLS) orientation, whose
+    # allocation is small anyway (64 rows x 512 B, double-buffered).
+    win_rows = max(group, 1) * TRI_CHUNK
+    win_t = win_rows % 128 == 0
+
     n_ray_ins = len(comps)
     kernel = (
         partial(
             _chunked_any_kernel, n_sph_kernel, n_pln,
             n_tri_chunks, n_sph_chunks, use_mask, use_sl,
-            max(group, 1),
+            max(group, 1), win_t,
         )
         if any_only
         else partial(
             _chunked_closest_kernel, n_sph_kernel, n_pln,
             n_tri_chunks, n_sph_chunks, use_mask, use_sl,
-            f2b, max(group, 1),
+            f2b, max(group, 1), win_t,
         )
     )
     if any_only:
@@ -1379,12 +1410,11 @@ def _chunked_tiles_call(
     # shortlists (group > 1) list GROUP indices over union AABBs, fetch
     # (group*TRI_CHUNK)-COLUMN windows, and shrink the chunk grid axis
     # to ceil(C/group).
-    # Both growing constant tables enter the kernel TRANSPOSED —
-    # (6, n_chunks) bounds, (TRI_COLS, n_rows) window source — because
-    # SMEM allocates 2D arrays at >= 512 B per ROW (measured: the
-    # row-major (3872, 6) bounds table allocates 1.9 MB and fails the
-    # 1 MB compile; transposed it costs its true ~93 KB).
-    win_rows = max(group, 1) * TRI_CHUNK
+    # The full-resident bounds table ALWAYS enters TRANSPOSED —
+    # (6, n_chunks) — because SMEM allocates 2D arrays at >= 512 B per
+    # ROW (measured: the row-major (3872, 6) bounds table allocates
+    # 1.9 MB and fails the 1 MB compile; transposed it costs its true
+    # ~93 KB). The streamed window transposes only when win_t (above).
     if use_sl:
         n_entries = -(-n_chunks // group)
         mask_tile = comps[6] if use_mask else None
@@ -1402,23 +1432,33 @@ def _chunked_tiles_call(
                 [tri_const, jnp.zeros((pad_rows, TRI_COLS), jnp.float32)],
                 axis=0,
             )
-        tri_index = lambda i, j, sl_, ct_: (0, sl_[i, j])  # noqa: E731
+        if win_t:
+            tri_index = lambda i, j, sl_, ct_: (0, sl_[i, j])  # noqa: E731
+        else:
+            tri_index = lambda i, j, sl_, ct_: (sl_[i, j], 0)  # noqa: E731
         ray_index = lambda i, j, sl_, ct_: (i, 0)  # noqa: E731
         grid_chunks = n_entries
     else:
-        tri_index = lambda i, j: (0, j)  # noqa: E731
+        if win_t:
+            tri_index = lambda i, j: (0, j)  # noqa: E731
+        else:
+            tri_index = lambda i, j: (j, 0)  # noqa: E731
         ray_index = lambda i, j: (i, 0)  # noqa: E731
         grid_chunks = n_chunks
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
+    win_block = (TRI_COLS, win_rows) if win_t else (win_rows, TRI_COLS)
     tri_spec = pl.BlockSpec(
-        (TRI_COLS, win_rows), tri_index, memory_space=pltpu.SMEM
+        win_block, tri_index, memory_space=pltpu.SMEM
     )
     ray_block = pl.BlockSpec(
         (sub, LANES), ray_index, memory_space=pltpu.VMEM
     )
     in_specs = [smem_full] * 11 + [tri_spec] + [ray_block] * n_ray_ins
     out_specs = tuple(ray_block for _ in out_dtypes)
-    operands = (bounds.T, *small_refs, tri_const.T, *comps)
+    operands = (
+        bounds.T, *small_refs,
+        tri_const.T if win_t else tri_const, *comps,
+    )
 
     if use_sl:
         grid_spec = pltpu.PrefetchScalarGridSpec(
