@@ -110,10 +110,12 @@ def run_bench() -> int:
         default_iters = {"suzanne_hi": "4"}.get(scene_name, "32")
     iterations = int(os.environ.get("BENCH_ITERS", default_iters))
 
-    # BENCH_COMPACT=K enables periodic lane compaction every K free-run
-    # iterations on the big-scene kernel path (render/wavefront.py) —
-    # bit-transparent, throughput-only.
-    compact_every = int(os.environ.get("BENCH_COMPACT", "0"))
+    # BENCH_COMPACT=K forces a compaction cadence on the big-scene
+    # kernel path (render/wavefront.py) — bit-transparent, throughput
+    # only. Unset = None = the production AUTO default (K=2 on
+    # shortlist-scale scenes, 0 elsewhere); BENCH_COMPACT=0 disables.
+    _bc = os.environ.get("BENCH_COMPACT")
+    compact_every = int(_bc) if _bc is not None else None
 
     def render_step(base_counts):
         if mode == "sync":

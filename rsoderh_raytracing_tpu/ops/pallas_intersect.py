@@ -155,6 +155,20 @@ def _chunk_spheres(scene) -> bool:
     )
 
 
+def scene_chunk_count(scene) -> int:
+    """Chunk-grid size the chunked kernels would use for `scene`:
+    triangle windows plus (when _chunk_spheres) sphere windows, both
+    padded to whole TRI_CHUNK rows. Drives the production defaults for
+    shortlist-scale scenes (render/wavefront.py): lane compaction and
+    32-sublane sweep tiles pay off exactly where the per-tile chunk
+    culls have many chunks to skip (> SHORTLIST_MIN_CHUNKS)."""
+    n_tri = scene.tri_valid.shape[0]
+    c = -(-n_tri // TRI_CHUNK) if n_tri else 0
+    if _chunk_spheres(scene):
+        c += -(-scene.sph_radius.shape[0] // TRI_CHUNK)
+    return c
+
+
 def sweep_supported(scene) -> bool:
     if not pallas_enabled():
         return False

@@ -94,13 +94,29 @@ def render_wavefront(
     return image
 
 
-def _compact_every_default() -> int:
-    """RT_COMPACT_EVERY resolved at trace time. Like every RT_ knob the
-    env var needs a fresh process (jit caches don't key on it); tests
-    and benchmarks pass `compact_every` explicitly instead."""
+def _compact_every_default(scene) -> int:
+    """Compaction cadence when the caller passes None: RT_COMPACT_EVERY
+    if set (trace-time constant — fresh process required, like every
+    RT_ knob), else AUTO: shortlist-scale chunked scenes (more chunks
+    than SHORTLIST_MIN_CHUNKS) default to K=2, the measured optimum of
+    the round-4 cadence sweep on suzanne_hi (K=1: 4.96, K=2: 6.19,
+    K=4: 5.96, K=8: 5.50 Mrays/s vs 3.8-4.3 uncompacted — compaction
+    is bit-transparent, so the default only moves throughput). Small
+    chunk grids keep 0: the sort buys nothing where tiles sweep few
+    chunks (suzanne compact16 measured 37.9 vs 39.2 baseline)."""
     import os
 
-    return int(os.environ.get("RT_COMPACT_EVERY", "0"))
+    env = os.environ.get("RT_COMPACT_EVERY")
+    if env is not None:
+        return int(env)
+    from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
+
+    if (
+        pint.chunked_trace_supported(scene)
+        and pint.scene_chunk_count(scene) > pint.SHORTLIST_MIN_CHUNKS
+    ):
+        return 2
+    return 0
 
 
 @partial(
@@ -666,7 +682,7 @@ def _kernel_loop(
 
     use_big = pint.chunked_trace_supported(scene)
     if compact_every is None:
-        compact_every = _compact_every_default()
+        compact_every = _compact_every_default(scene)
     do_compact = use_big and compact_every > 0
     # Loop-invariant: XLA hoists the table build out of the while_loop.
     wtable = pwf.winner_table(scene) if use_big else None
@@ -904,10 +920,28 @@ def _kernel_loop(
             # native 64-sublane blocks when the lane count allows (fewer
             # grid steps / window DMAs).
             sub = pint.SUBLANES if rows % pint.SUBLANES == 0 else pwf.SUBLANES
-            # RT_SWEEP_SUBLANES: experiment knob (VERDICT round 3 #2c) —
-            # smaller ray blocks mean tighter per-tile frusta for the
-            # chunk culls/shortlists at more per-step overhead. Fresh
-            # process required (trace-time constant, like every RT_ knob).
+            # Mid-scale shortlist scenes default to 32-sublane sweep
+            # tiles: the tighter per-tile frusta shorten the
+            # shortlists, and combined with the auto compaction cadence
+            # (K=2) this is the measured round-4 production pick
+            # (suzanne_hi 6.19 Mrays/s vs 3.8-4.3 at the old
+            # 64/uncompacted defaults). HUGE chunk grids keep 64:
+            # halving the tile height doubles the per-tile shortlist
+            # rows, which at suzanne_xhi scale (3,872 chunks) blows the
+            # SMEM budget into G=32 windows that no longer compile
+            # (measured — the 1024-chunk bound keeps auto inside
+            # configs proven on hardware).
+            _n_chunks = pint.scene_chunk_count(scene)
+            if (
+                pint.SHORTLIST_MIN_CHUNKS < _n_chunks <= 1024
+                and rows % 32 == 0
+            ):
+                sub = 32
+            # RT_SWEEP_SUBLANES: explicit override (VERDICT round 3
+            # #2c) — smaller ray blocks mean tighter per-tile frusta
+            # for the chunk culls/shortlists at more per-step overhead.
+            # Fresh process required (trace-time constant, like every
+            # RT_ knob).
             _sub_env = int(os.environ.get("RT_SWEEP_SUBLANES", "0"))
             if _sub_env and rows % _sub_env == 0:
                 sub = _sub_env

@@ -432,3 +432,44 @@ def test_freerun_compaction_bit_transparent(
     np.testing.assert_array_equal(
         np.asarray(compact_img), np.asarray(base_img)
     )
+
+
+def test_auto_compaction_default_scale_gated(monkeypatch, big_tri_scene):
+    """Shortlist-scale chunked scenes (> SHORTLIST_MIN_CHUNKS chunks)
+    default to compact_every=2 — the measured optimum of the round-4
+    cadence sweep — while small chunk grids keep 0 and RT_COMPACT_EVERY
+    overrides both ways. Compaction is bit-transparent (test above), so
+    the default is throughput-only."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
+    from rsoderh_raytracing_tpu.render import wavefront as wf
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    monkeypatch.setenv("RT_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("RT_COMPACT_EVERY", raising=False)
+
+    big = SimpleNamespace(
+        tri_valid=np.ones(
+            pint.TRI_CHUNK * (pint.SHORTLIST_MIN_CHUNKS + 1), np.int32
+        ),
+        sph_radius=np.zeros(0, np.float32),
+        pln_valid=np.zeros(0, np.int32),
+        bvh=None,
+    )
+    assert pint.scene_chunk_count(big) > pint.SHORTLIST_MIN_CHUNKS
+    assert pint.chunked_trace_supported(big)
+    assert wf._compact_every_default(big) == 2
+
+    # small chunk grid (the fixture sits just past the unroll budget):
+    # auto stays off
+    ds = build_device_scene(big_tri_scene, pad_to=1)
+    assert pint.scene_chunk_count(ds) <= pint.SHORTLIST_MIN_CHUNKS
+    assert wf._compact_every_default(ds) == 0
+
+    monkeypatch.setenv("RT_COMPACT_EVERY", "5")
+    assert wf._compact_every_default(big) == 5
+    monkeypatch.setenv("RT_COMPACT_EVERY", "0")
+    assert wf._compact_every_default(big) == 0
