@@ -115,6 +115,11 @@ def _compact_every_default(scene) -> int:
         pint.chunked_trace_supported(scene)
         and pint.scene_chunk_count(scene) > pint.SHORTLIST_MIN_CHUNKS
     ):
+        # Huge grids compact EVERY iteration: the sort (38 ms) is noise
+        # against multi-second sweep iterations and coherence is the
+        # whole game (suzanne_xhi K=1/2/4 = 0.89/0.84/0.61 Mrays/s).
+        if pint.scene_chunk_count(scene) > 1024:
+            return 1
         return 2
     return 0
 
