@@ -799,7 +799,23 @@ def _kernel_loop(
         ]
         grid_lo = jnp.concatenate(pts_lo).min(axis=0)
         grid_hi = jnp.concatenate(pts_hi).max(axis=0)
-        grid_scale = 32.0 / jnp.maximum(grid_hi - grid_lo, 1e-6)
+        # Key-composition ablation knobs (trace-time constants, like
+        # every RT_ knob — VERDICT r4 task 1b): RT_COMPACT_KEY selects
+        # which components sort the lanes (any choice is a pure lane
+        # permutation, so output stays bit-identical; only cull quality
+        # moves), RT_COMPACT_MORTON_BITS the per-axis cell resolution
+        # (default 5 = 32 cells; <= 8 keeps morton<<7|octa inside u32).
+        #   full   dead-last | morton(origin) << 7 | octa(direction)
+        #   morton dead-last | morton(origin)      (no direction bins)
+        #   dir    dead-last | octa(direction)     (no origin cells)
+        #   dead   dead-last only (live lanes keep argsort's stable
+        #          lane order — measures pure dead-lane packing)
+        _key_mode = os.environ.get("RT_COMPACT_KEY", "full")
+        _morton_bits = min(
+            int(os.environ.get("RT_COMPACT_MORTON_BITS", "5")), 8
+        )
+        _cells = float(1 << _morton_bits)
+        grid_scale = _cells / jnp.maximum(grid_hi - grid_lo, 1e-6)
 
         def _part1by2(v):
             # spread the low bits to every 3rd position (u32, 10-bit-safe)
@@ -822,7 +838,9 @@ def _kernel_loop(
                 # outside the tri/sphere grid, and a negative float ->
                 # uint cast is undefined
                 jnp.clip(
-                    (flat(k) - grid_lo[i]) * grid_scale[i], 0.0, 31.0
+                    (flat(k) - grid_lo[i]) * grid_scale[i],
+                    0.0,
+                    _cells - 1.0,
                 ).astype(jnp.uint32)
                 for i, k in enumerate(("ro0", "ro1", "ro2"))
             ]
@@ -849,7 +867,14 @@ def _kernel_loop(
                 jnp.uint32
             )
             octa = (ub << 3) | vb | (fold.astype(jnp.uint32) << 6)
-            key = (morton << jnp.uint32(7)) | octa
+            if _key_mode == "dead":
+                key = jnp.zeros_like(morton)
+            elif _key_mode == "morton":
+                key = morton
+            elif _key_mode == "dir":
+                key = octa
+            else:
+                key = (morton << jnp.uint32(7)) | octa
             return jnp.where(
                 flat("in_path") != 0, key, jnp.uint32(0xFFFFFFFF)
             )

@@ -170,6 +170,24 @@ def main() -> int:
         "grouped shortlist (G=4) == flat, suzanne_hi 1spp",
         {"RT_SHORTLIST_GROUP": "4"}, hi, hi_cam, 128,
     )
+    # G > GROUP_UNROLL_MAX compiles the OTHER grouped body: sub-chunk
+    # sweeps under an in-kernel fori_loop with dynamic SMEM window
+    # offsets + transposed windows (ops/pallas_intersect.py:1134-1144)
+    # — the variant suzanne_xhi actually runs in production (G=16 at
+    # 2048^2). Interpret-mode tests cover its construction, but round 4
+    # proved interpret parity does not imply hardware parity on this
+    # stack (the blocked-spec wrinkle), so the fori_loop body gets the
+    # same hardware bit/statistical discipline here (VERDICT r4 task 1a;
+    # at small resolutions xhi itself auto-selects a FLAT list — forcing
+    # G on suzanne_hi is the only way to pin this program shape cheaply).
+    knob_vs_default(
+        "grouped fori_loop (G=8) == flat, suzanne_hi 1spp",
+        {"RT_SHORTLIST_GROUP": "8"}, hi, hi_cam, 128,
+    )
+    knob_vs_default(
+        "grouped fori_loop (G=16) == flat, suzanne_hi 1spp",
+        {"RT_SHORTLIST_GROUP": "16"}, hi, hi_cam, 128,
+    )
     knob_vs_default(
         "front-to-back closest (+tie-break) == index order, suzanne_hi 1spp",
         {"RT_SHORTLIST_F2B": "1"}, hi, hi_cam, 128,

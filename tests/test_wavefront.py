@@ -434,6 +434,55 @@ def test_freerun_compaction_bit_transparent(
     )
 
 
+def test_freerun_compaction_key_modes_bit_transparent(
+    monkeypatch, tiny_env, big_tri_scene
+):
+    """Every RT_COMPACT_KEY composition (and a non-default Morton grid
+    resolution) is STILL a pure lane permutation — the ablation knobs
+    (VERDICT r4 task 1b) change only which lanes cluster, never the
+    per-pixel output. Knobs are trace-time constants, so the jit cache
+    must be cleared between settings."""
+    import numpy as np
+
+    from rsoderh_raytracing_tpu.ops import pallas_intersect
+    from rsoderh_raytracing_tpu.render.integrator import camera_pytree
+    from rsoderh_raytracing_tpu.render.wavefront import render_freerun
+    from rsoderh_raytracing_tpu.scene.device import build_device_scene
+
+    ds = build_device_scene(big_tri_scene, pad_to=1)
+    cam = camera_pytree(big_tri_scene.camera)
+    size = (16, 16)
+
+    monkeypatch.setenv("RT_PALLAS_INTERPRET", "1")
+    assert pallas_intersect.chunked_trace_supported(ds)
+
+    render_freerun.clear_cache()
+    base_img, base_counts = render_freerun(
+        ds, tiny_env, cam, np.uint32(0), size, np.uint32(9),
+        compact_every=0,
+    )
+    for knob, value in (
+        ("RT_COMPACT_KEY", "dead"),
+        ("RT_COMPACT_KEY", "morton"),
+        ("RT_COMPACT_KEY", "dir"),
+        ("RT_COMPACT_MORTON_BITS", "7"),
+    ):
+        monkeypatch.setenv(knob, value)
+        render_freerun.clear_cache()
+        img, counts = render_freerun(
+            ds, tiny_env, cam, np.uint32(0), size, np.uint32(9),
+            compact_every=2,
+        )
+        monkeypatch.delenv(knob)
+        np.testing.assert_array_equal(
+            np.asarray(counts), np.asarray(base_counts), err_msg=f"{knob}={value}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(img), np.asarray(base_img), err_msg=f"{knob}={value}"
+        )
+    render_freerun.clear_cache()
+
+
 def test_auto_compaction_default_scale_gated(monkeypatch, big_tri_scene):
     """Shortlist-scale chunked scenes (> SHORTLIST_MIN_CHUNKS chunks)
     default to compact_every=2 — the measured optimum of the round-4
