@@ -52,16 +52,19 @@ def run_bench() -> int:
 
     root = os.path.dirname(os.path.abspath(__file__))
     scene_name = os.environ.get("BENCH_SCENE", "house")  # house | suzanne | default
-    if scene_name == "suzanne_xhi" and not os.path.exists(
-        os.path.join(root, "assets", "suzanne_xhi.obj")
+    # Subdivided meshes are generated deterministically, not committed
+    # (17 MB / 70 MB) — see scripts/subdivide_obj.py. xxhi (991,232
+    # tris) exceeds MAX_CHUNKED_TRIS: the past-ceiling routing probe.
+    _gen_levels = {"suzanne_xhi": "4", "suzanne_xxhi": "5"}
+    if scene_name in _gen_levels and not os.path.exists(
+        os.path.join(root, "assets", f"{scene_name}.obj")
     ):
-        # 247,808-triangle mesh: generated deterministically, not
-        # committed (17 MB) — see scripts/subdivide_obj.py.
         import subprocess as _sp
 
         _sp.run(
             [sys.executable, os.path.join(root, "scripts", "subdivide_obj.py"),
-             "4"],
+             _gen_levels[scene_name],
+             os.path.join(root, "assets", f"{scene_name}.obj")],
             check=True,
         )
     scene = load_scene(
@@ -71,7 +74,10 @@ def run_bench() -> int:
     # path; ops/bvh_traverse.py) instead of the dense/chunked sweeps —
     # the VERDICT round-3 #2a crossover experiment for large meshes.
     intersector = os.environ.get("BENCH_INTERSECTOR", "sweep")
-    ds = build_device_scene(scene, with_bvh=intersector == "bvh")
+    ds = build_device_scene(
+        scene,
+        with_bvh="auto" if intersector == "auto" else intersector == "bvh",
+    )
     env = device_environment(
         Environment.from_texture("bench_sky", procedural_sky(2048, 1024))
     )
@@ -105,6 +111,7 @@ def run_bench() -> int:
         "spheres": "128",  # 1000 spheres = 16 sphere chunks (suzanne-class)
         "suzanne_hi": "16",
         "suzanne_xhi": "2",  # 3,872 chunks: keep a call under the RPC deadline
+        "suzanne_xxhi": "1",  # past-ceiling composed/BVH: slowest paths
     }.get(scene_name, "64")
     if mode == "sync":
         default_iters = {"suzanne_hi": "4"}.get(scene_name, "32")
