@@ -4,7 +4,8 @@ crossover diagnosis): tiny render via render_freerun with the bvh
 intersector, printing wall times for scene build / compile+warmup /
 timed iterations so an RPC-deadline death is distinguishable from a
 kernel fault. Usage: python scripts/bvh_tpu_probe.py [size] [iters]
-[scene]."""
+[scene] [intersector] — intersector in {bvh, sweep, auto} (default bvh;
+sweep/auto make the same tiny render comparable across routes)."""
 
 import os
 import sys
@@ -21,13 +22,17 @@ sys.path.insert(0, ROOT)
 size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 scene_name = sys.argv[3] if len(sys.argv) > 3 else "suzanne_hi"
+intersector = sys.argv[4] if len(sys.argv) > 4 else "bvh"
 
 
 def stamp(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-stamp(f"start size={size} iters={iters} scene={scene_name}")
+stamp(
+    f"start size={size} iters={iters} scene={scene_name} "
+    f"intersector={intersector}"
+)
 from rsoderh_raytracing_tpu import load_scene
 from rsoderh_raytracing_tpu.env.environment import (
     Environment,
@@ -41,7 +46,10 @@ from rsoderh_raytracing_tpu.scene.device import build_device_scene
 scene = load_scene(
     os.path.join(ROOT, "assets", "scenes", f"{scene_name}.toml")
 )
-ds = build_device_scene(scene, with_bvh=True)
+ds = build_device_scene(
+    scene,
+    with_bvh="auto" if intersector == "auto" else intersector == "bvh",
+)
 env = device_environment(
     Environment.from_texture("bench_sky", procedural_sky(512, 256))
 )
