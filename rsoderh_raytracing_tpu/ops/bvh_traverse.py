@@ -90,15 +90,20 @@ def _bitcast_i32(x):
 
 
 def _use_packed() -> bool:
-    """RT_BVH_PACKED=1: fetch node/primitive constants as ONE wide
-    gather row per visit instead of several narrow takes. Measured on
-    CPU this LOSES ~1.5x (XLA:CPU turns narrow takes into cheap strided
-    loads; the wide row costs more) — so it is opt-in, for measuring the
-    opposite hypothesis on TPU where each dynamic gather carries a high
-    fixed issue cost (sweep config suzanne_hi_bvh_packed_1024)."""
+    """RT_BVH_PACKED=0/1 overrides; the default is backend-measured
+    (round 5, scripts/bvh_tpu_probe.py): on CPU wide rows LOSE ~1.5x
+    (XLA:CPU turns narrow takes into cheap strided loads), on TPU they
+    WIN 7-11x (suzanne 128^2 walk 0.01 -> 0.07 Mrays/s; 991k-tri
+    suzanne_xxhi 0.002 -> 0.02 — each dynamic gather op carries a high
+    fixed issue cost there, so one (N,9)/(N,16) row per visit beats
+    five-plus narrow takes). Both forms feed identical floats into
+    identical tests — bitwise-equal results (tested)."""
     import os
 
-    return os.environ.get("RT_BVH_PACKED") == "1"
+    v = os.environ.get("RT_BVH_PACKED")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() != "cpu"
 
 
 def _node_table(bvh: DeviceBVH):

@@ -425,12 +425,17 @@ def wavefront_loop_custom(
         pallas_intersect.pallas_enabled()
         and scene.bvh is None
         and not pallas_intersect.sweep_supported(scene)
+        and jax.default_backend() == "cpu"
     ):
-        # The cliff is LOUD: scenes past every kernel path pay the
-        # composed XLA dense sweep, measured ~10x slower in context
-        # (PERFORMANCE.md "composed-XLA fallback"). Deliberate opt-outs
-        # (RT_DISABLE_WFKERNELS / RT_DISABLE_PALLAS) don't reach here,
-        # and neither do scenes the opt-in fori_loop sweep still covers.
+        # The cliff is LOUD on CPU: scenes past every kernel path pay
+        # the composed dense sweep, and the flat-BVH walk is measured
+        # 3.3x faster there at 15k tris (PERFORMANCE.md "BVH traversal
+        # path"). On TPU the sweep IS the measured-best composed path
+        # (991k tris: sweep 0.011 vs walk 0.002 Mrays/s) and auto
+        # routes here deliberately, so no warning fires. Deliberate
+        # opt-outs (RT_DISABLE_WFKERNELS / RT_DISABLE_PALLAS) don't
+        # reach here, and neither do scenes the opt-in fori_loop sweep
+        # still covers.
         import warnings
 
         n_tri = scene.tri_valid.shape[0]
@@ -456,8 +461,8 @@ def wavefront_loop_custom(
         warnings.warn(
             f"scene exceeds every Pallas kernel path ({reason}); "
             "rendering on the composed XLA dense sweep, which is O(P) "
-            "— build the scene with intersector='auto'/'bvh' "
-            "(flat-BVH traversal) for scenes at this scale",
+            "— on CPU, build the scene with intersector='auto'/'bvh' "
+            "(flat-BVH traversal, measured 3.3x faster at this scale)",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -221,20 +221,28 @@ def build_device_scene(
         )
 
         # Probe the final triangle lane count under the tri_pad rule
-        # below, then attach a BVH exactly when no kernel path covers
-        # the padded counts (past-ceiling scenes: > MAX_CHUNKED_TRIS /
-        # MAX_CHUNKED_SPHERES triangle/sphere lanes, or plane unrolls
-        # that crowd out the chunk window).
+        # below. Past-ceiling scenes (> MAX_CHUNKED_TRIS /
+        # MAX_CHUNKED_SPHERES padded lanes, or plane unrolls that crowd
+        # out the chunk window) have no kernel path; which COMPOSED path
+        # wins there is backend-dependent and measured (round 5,
+        # PERFORMANCE.md "BVH traversal path"): on CPU the flat-BVH walk
+        # beats the dense sweep 3.3x at 15k tris and scales O(log P);
+        # on TPU the walk is the loser at every measured size (991k
+        # tris: walk 0.002 vs dense sweep 0.011 Mrays/s, and its
+        # per-lane gather compiles run minutes, blowing RPC deadlines),
+        # so auto keeps the vectorized O(P) sweep there.
         t_probe = _round_up(
             len(tris),
             pad_to if total_small <= MAX_UNROLL_PRIMS else TRI_CHUNK,
         )
-        with_bvh = not counts_kernel_path(s_n, p_n, t_probe)
+        past_ceiling = not counts_kernel_path(s_n, p_n, t_probe)
+        with_bvh = past_ceiling and jax.default_backend() == "cpu"
         # RT_BVH_ABOVE_TRIS=N lowers the auto crossover: route scenes
         # with more than N padded triangle lanes onto the flat-BVH
-        # traversal even where the chunked kernels still apply — the
-        # retune knob for whatever chunked-vs-BVH crossover the TPU
-        # sweep measures (scripts/round4_sweep.py 'bvh'/'xhi' groups).
+        # traversal even where the chunked kernels still apply — and,
+        # since round 5, it also forces the walk past the ceiling on
+        # non-CPU backends if a future toolchain ever flips the
+        # measured TPU ordering (walk 0.002 vs sweep 0.011 at 991k).
         thresh = _os.environ.get("RT_BVH_ABOVE_TRIS")
         if not with_bvh and thresh and t_probe > int(thresh):
             with_bvh = True

@@ -1355,11 +1355,13 @@ def test_raised_chunked_ceiling_routing():
 
 def test_auto_intersector_routing(monkeypatch, assets_dir, tiny_env):
     """intersector='auto' (the Renderer/CLI default) rides the kernel
-    paths while any covers the scene, and attaches the flat BVH exactly
-    when the padded counts exceed EVERY kernel ceiling — past-ceiling
-    scenes previously paid the O(P) composed dense sweep unless the user
-    opted into 'bvh' by hand (the reference is O(log P) at any size
-    through its per-thread BVH, shader.wgsl:469-564)."""
+    paths while any covers the scene; past EVERY kernel ceiling the
+    pick is backend-dependent and measured (round 5): on CPU it
+    attaches the flat BVH (walk 3.3x faster than the dense sweep at
+    15k tris), on TPU it keeps the composed dense sweep (991k tris:
+    sweep 0.011 vs walk 0.002 Mrays/s — the reference is O(log P) at
+    any size through its per-thread BVH, shader.wgsl:469-564, but the
+    per-lane gather walk is the measured loser on this toolchain)."""
     import warnings as _warnings
 
     import jax.numpy as jnp
@@ -1432,6 +1434,15 @@ def test_auto_intersector_routing(monkeypatch, assets_dir, tiny_env):
     )
     ds_big = build_device_scene(big, with_bvh="auto")
     assert ds_big.bvh is not None
+    # On a non-CPU backend, auto keeps the (measured-faster) dense
+    # sweep past the ceiling; RT_BVH_ABOVE_TRIS still forces the walk.
+    import jax as _jax
+
+    with monkeypatch.context() as mp:
+        mp.setattr(_jax, "default_backend", lambda: "tpu")
+        assert build_device_scene(big, with_bvh="auto").bvh is None
+        mp.setenv("RT_BVH_ABOVE_TRIS", "256")
+        assert build_device_scene(big, with_bvh="auto").bvh is not None
     # explicit 'sweep' still takes (and warns on) the dense fallback
     ds_sweep = build_device_scene(big, with_bvh=False)
     assert ds_sweep.bvh is None
