@@ -35,6 +35,12 @@ viewer-fps scene="default":
 sweep log="/tmp/round4_sweep.jsonl":
     python scripts/round4_sweep.py {{log}}
 
+# Raised-ceiling (RT_MAX_CHUNKED_TRIS) hardware image check on the
+# 991k-tri scene: `transparency` = kernel vs shortlist-disabled kernel
+# (must be bitwise), `composed` = kernel vs composed body (statistical).
+xxhi-check mode="transparency":
+    python scripts/xxhi_image_check.py 128 1 {{mode}}
+
 # Compile-check the driver entry points.
 graft-check:
     python __graft_entry__.py

@@ -48,16 +48,30 @@ MAX_LOOP_PRIMS = 2048  # fori_loop + dynamic SMEM reads (suzanne: 976)
 # (6, n_chunks) because SMEM allocates 2D arrays at >= 512 B per ROW
 # (measured on this toolchain: row-major (3872, 6) allocates 1.9 MB and
 # fails the 1 MB compile; transposed it costs 6 rows x 4 B/chunk =
-# ~93 KB at 4096 chunks). The per-chunk constant windows are streamed
-# and size-invariant. Scenes beyond this fall (loudly — see
-# render/wavefront.py) to the composed XLA sweep.
-MAX_CHUNKED_TRIS = 262144
+# ~93 KB at 4096 chunks; 372 KB at 15,488 — measured within the 1 MB
+# SMEM alongside the streamed, size-invariant per-chunk constant
+# windows). Past SHORTLIST/GROUP capacity the grid degrades gracefully
+# to the plain chunked sweep (group=0), so the hard wall is the SMEM
+# bounds table, not the shortlist. The DEFAULT ceiling stays at the
+# round-4 measured envelope (every config below it is benched);
+# RT_MAX_CHUNKED_TRIS raises it — round 5 measured a 991k-tri scene
+# (15,488 chunks) on this path at 256^2: 0.11 Mrays/s with the auto
+# G=2 shortlist, 10x the composed dense sweep's 0.0113, image-checked
+# kernel-vs-composed on hardware; at 2048^2 the same scene's kernel
+# program blows the tunnel's RPC deadline (UNAVAILABLE), which is why
+# the raise is opt-in rather than the default. Scenes beyond the
+# ceiling fall (loudly on CPU — see render/wavefront.py) to the
+# composed XLA sweep (TPU) or the flat-BVH walk (CPU auto routing,
+# scene/device.py).
+MAX_CHUNKED_TRIS = int(os.environ.get("RT_MAX_CHUNKED_TRIS", "262144"))
 # Spheres stream as chunk windows too (same grid, same AABB culls) when
 # the sphere+plane unroll no longer fits the per-step budget — the
 # reference handles any sphere count through its BVH (src/bvh.rs:13-28);
 # here many-sphere scenes ride the same streamed-window machinery as
 # many-triangle ones. Same SMEM argument as MAX_CHUNKED_TRIS.
-MAX_CHUNKED_SPHERES = 262144
+MAX_CHUNKED_SPHERES = int(
+    os.environ.get("RT_MAX_CHUNKED_SPHERES", "262144")
+)
 
 INF = 3.0e38
 
@@ -747,11 +761,26 @@ def tri_chunk_occluded(tri_ref, ox, oy, oz, dx, dy, dz, row0=0,
 # exact second level for shortlisted chunks.
 
 SHORTLIST_MIN_CHUNKS = 32  # below this the per-step overhead is small
-# The (n_tiles, n_chunks) i32 shortlist is itself an SMEM resident;
-# past this budget (suzanne_hi at 2048^2 uses 495 KB of the v5e's
-# measured 1 MB) the kernels group chunks (below) rather than blow the
-# compile — the per-lane culls still apply either way.
+# The (n_tiles, ceil(C/G)) i32 shortlist is an SMEM resident; this is
+# the round-4 MEASURED rule for it alone (suzanne_hi's flat list at
+# 2048^2 allocates 512 KB of the v5e's measured 1 MB and compiles;
+# every production decision at <= 262,144 triangle lanes was benched
+# under exactly this bound, so it stays authoritative there).
 SHORTLIST_SMEM_BUDGET = 512 * 1024
+# The full-resident (6, n_chunks) bounds table shares SMEM with the
+# shortlist, and past the default chunk ceiling (RT_MAX_CHUNKED_TRIS
+# raised past 262,144 lanes) it stops being negligible: at 991k tris
+# it allocates 366 KB, and the round-4 search — which ignored it —
+# picked a flat list whose 500 KB + 366 KB total = HTTP 500 at
+# compile. The capacity search therefore ALSO requires
+# shortlist + bounds <= this total. Within the default ceiling the
+# bounds table is <= 98 KB, so the total bound never binds and every
+# round-4 decision is preserved exactly; past it, the search degrades
+# flat -> grouped -> plain grid instead of blowing the compile (the
+# per-lane culls still apply either way). 640 KB sits just above the
+# largest total measured good (616 KB: suzanne_xxhi G=2 at 256^2,
+# 0.11 Mrays/s) and well below the measured failure (866 KB).
+SHORTLIST_TOTAL_SMEM_BUDGET = 640 * 1024
 # Grouped shortlists: when the flat (T, C) list does not fit, shortlist
 # chunk GROUPS instead — one grid step fetches a (G*TRI_CHUNK)-row
 # window and sweeps its G chunks in-kernel (each behind its own slab
@@ -780,11 +809,13 @@ def _smem_row_bytes(nbytes: int) -> int:
 def _shortlist_group(n_chunks: int, n_tiles: int) -> int:
     """Chunks per shortlist entry: 0 = no shortlist (plain grid), 1 =
     flat per-chunk shortlist, G > 1 = grouped (grid step = G chunks).
-    Smallest group whose (T, ceil(C/G)) i32 list fits the SMEM budget
-    at the ALLOCATED row size (_smem_row_bytes — each of the T tile
-    rows pads to a 512 B multiple). RT_SHORTLIST_GROUP=G forces a size
-    (testing/ablation); RT_DISABLE_GROUP_SHORTLIST=1 allows only the
-    flat list."""
+    Smallest group whose (T, ceil(C/G)) i32 list fits the round-4
+    shortlist budget AND whose list-plus-bounds-table total fits
+    SHORTLIST_TOTAL_SMEM_BUDGET, both at ALLOCATED row sizes
+    (_smem_row_bytes — every SMEM row pads to a 512 B multiple; the
+    total bound only ever binds past the default chunk ceiling).
+    RT_SHORTLIST_GROUP=G forces a size (testing/ablation);
+    RT_DISABLE_GROUP_SHORTLIST=1 allows only the flat list."""
     if os.environ.get("RT_DISABLE_SHORTLIST") == "1":
         return 0
     if n_chunks <= SHORTLIST_MIN_CHUNKS:
@@ -792,10 +823,13 @@ def _shortlist_group(n_chunks: int, n_tiles: int) -> int:
     forced = os.environ.get("RT_SHORTLIST_GROUP")
     if forced:
         return min(int(forced), MAX_SHORTLIST_GROUP)
+    bounds_alloc = 6 * _smem_row_bytes(n_chunks * 4)
     g = 1
     while g <= MAX_SHORTLIST_GROUP:
         n_entries = -(-n_chunks // g)
-        if n_tiles * _smem_row_bytes(n_entries * 4) <= SHORTLIST_SMEM_BUDGET:
+        sl_alloc = n_tiles * _smem_row_bytes(n_entries * 4)
+        if (sl_alloc <= SHORTLIST_SMEM_BUDGET
+                and sl_alloc + bounds_alloc <= SHORTLIST_TOTAL_SMEM_BUDGET):
             return g
         if os.environ.get("RT_DISABLE_GROUP_SHORTLIST") == "1":
             return 0

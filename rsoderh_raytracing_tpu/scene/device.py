@@ -23,6 +23,15 @@ import numpy as np
 
 from rsoderh_raytracing_tpu.scene.types import Scene
 
+# intersector='auto' BVH attach point on CPU: the default kernel
+# ceiling. CPU never runs the Pallas kernels, so this is purely the
+# composed walk-vs-sweep routing boundary there; it deliberately does
+# NOT track ops.pallas_intersect.MAX_CHUNKED_TRIS, which
+# RT_MAX_CHUNKED_TRIS can raise to 1M lanes for the TPU chunked grid
+# (goldens and the CPU bit-compat suite pin the dense sweep below
+# this boundary).
+CPU_BVH_ABOVE_LANES = 262144
+
 
 def _pad_rows(arr: np.ndarray, n: int, fill: float = 0.0) -> np.ndarray:
     """Pad axis 0 of `arr` to length n with `fill`."""
@@ -216,27 +225,32 @@ def build_device_scene(
     total_small = s_n + p_n + _round_up(len(tris), pad_to)
 
     if with_bvh == "auto":
-        from rsoderh_raytracing_tpu.ops.pallas_intersect import (
-            counts_kernel_path,
-        )
-
         # Probe the final triangle lane count under the tri_pad rule
-        # below. Past-ceiling scenes (> MAX_CHUNKED_TRIS /
-        # MAX_CHUNKED_SPHERES padded lanes, or plane unrolls that crowd
-        # out the chunk window) have no kernel path; which COMPOSED path
-        # wins there is backend-dependent and measured (round 5,
-        # PERFORMANCE.md "BVH traversal path"): on CPU the flat-BVH walk
-        # beats the dense sweep 3.3x at 15k tris and scales O(log P);
-        # on TPU the walk is the loser at every measured size (991k
-        # tris: walk 0.002 vs dense sweep 0.011 Mrays/s, and its
-        # per-lane gather compiles run minutes, blowing RPC deadlines),
-        # so auto keeps the vectorized O(P) sweep there.
+        # below, then pick the backend's measured-best route (round 5,
+        # PERFORMANCE.md "BVH traversal path"):
+        # - CPU never runs the Pallas kernels; its composed
+        #   walk-vs-sweep crossover is a host property, so the BVH
+        #   attach point stays at the HISTORICAL 262,144-lane boundary
+        #   (the walk wins 3.3x at 15k tris but goldens/bit-compat
+        #   pin the sweep below the boundary) — independent of the
+        #   TPU kernel ceiling, which RT_MAX_CHUNKED_TRIS can raise
+        #   past it.
+        # - TPU: the chunked kernel grid covers everything up to
+        #   MAX_CHUNKED_TRIS (and a raised ceiling is the measured
+        #   winner: 991k tris at 0.11 Mrays/s with the auto G=2
+        #   shortlist vs the walk's 0.002 and the composed sweep's
+        #   0.011 at 256^2);
+        #   past even that, the composed dense sweep stays the winner
+        #   (the per-lane gather walk degrades with lane count and its
+        #   multi-minute compiles blow RPC deadlines), so no BVH.
         t_probe = _round_up(
             len(tris),
             pad_to if total_small <= MAX_UNROLL_PRIMS else TRI_CHUNK,
         )
-        past_ceiling = not counts_kernel_path(s_n, p_n, t_probe)
-        with_bvh = past_ceiling and jax.default_backend() == "cpu"
+        if jax.default_backend() == "cpu":
+            with_bvh = t_probe > CPU_BVH_ABOVE_LANES
+        else:
+            with_bvh = False
         # RT_BVH_ABOVE_TRIS=N lowers the auto crossover: route scenes
         # with more than N padded triangle lanes onto the flat-BVH
         # traversal even where the chunked kernels still apply — and,

@@ -1403,10 +1403,15 @@ def test_auto_intersector_routing(monkeypatch, assets_dir, tiny_env):
     assert r.intersector == "sweep"
     assert r.device_scene.bvh is None
 
-    # Past-ceiling scene (ceiling shrunk so the test stays small): auto
-    # attaches the BVH, the render runs the traversal path, and the
-    # dense-sweep cliff warning does NOT fire.
+    # Past-ceiling scene (both boundaries shrunk so the test stays
+    # small): on CPU auto attaches the BVH at its own historical
+    # boundary (scene.device.CPU_BVH_ABOVE_LANES — deliberately NOT the
+    # TPU kernel ceiling, which round 5 raised), the render runs the
+    # traversal path, and the dense-sweep cliff warning does NOT fire.
+    import rsoderh_raytracing_tpu.scene.device as _dev
+
     monkeypatch.setattr(pallas_intersect, "MAX_CHUNKED_TRIS", 256)
+    monkeypatch.setattr(_dev, "CPU_BVH_ABOVE_LANES", 256)
     rng_ = np.random.default_rng(7)
     centers = rng_.uniform(-2.0, 2.0, size=(512, 3)).astype(np.float32)
     vertices = np.concatenate(

@@ -204,6 +204,84 @@ def test_freerun_production_program_lowers(monkeypatch, scene_name):
     ).lower(lowering_platforms=("tpu",))
 
 
+def test_xxhi_scale_raised_ceiling_lowers(monkeypatch):
+    """RT_MAX_CHUNKED_TRIS can raise the chunk ceiling to 991k-tri
+    scenes (suzanne_xxhi = 15,488 chunks; default stays 262,144). At
+    that scale the capacity search — whose total bound counts the
+    (6, n_chunks) bounds table's 363 KB SMEM allocation alongside the
+    shortlist — selects the plain chunked grid at the 2048^2 tile
+    count and a G=2 grouped shortlist at 256^2 (the config measured at
+    0.11 Mrays/s, 10x the composed sweep). Lower both regimes for
+    TPU."""
+    from rsoderh_raytracing_tpu.scene.camera import Camera
+    from rsoderh_raytracing_tpu.scene.types import (
+        Material,
+        PackedMeshes,
+        Scene,
+    )
+
+    monkeypatch.setattr(pint, "MAX_CHUNKED_TRIS", 1048576)
+    n_tri = 991232
+    rng = np.random.default_rng(1)
+    base = rng.uniform(-4, 4, (n_tri, 3)).astype(np.float32)
+    verts = np.concatenate(
+        [base, base + np.float32([0.05, 0, 0]),
+         base + np.float32([0, 0.05, 0])],
+        axis=0,
+    )
+    idx = np.arange(n_tri, dtype=np.int32)
+    z = np.zeros(n_tri, np.int32)
+    tris = np.stack(
+        [idx, idx + n_tri, idx + 2 * n_tri, z, z, z, z], axis=1
+    )
+    scene = Scene(
+        materials=[Material((0.5, 0.5, 0.5), 0.5, 0.0, (0, 0, 0))],
+        spheres=[],
+        planes=[],
+        meshes=PackedMeshes(
+            vertices=verts,
+            normals=np.array([[0.0, 1.0, 0.0]], np.float32),
+            triangles=tris,
+        ),
+        camera=Camera(pos=[0, 0, 8], yaw=0, pitch=0, fov_y=1.2),
+    )
+    ds = build_device_scene(scene)
+    assert ds.bvh is None  # raised ceiling: the kernel path covers it
+    assert pint.scene_chunk_count(ds) == 15488
+    assert pint._shortlist_group(15488, ROWS // 64) == 0  # plain grid
+    assert pint._shortlist_group(15488, 512 // 64) == 2  # 256^2: G=2
+
+    live = jnp.ones((ROWS, LANES), jnp.int32)
+    rt = _tiles()
+    _lower_tpu(
+        lambda a, b, m: pint.chunked_closest_tiles(
+            ds, a, b, live_mask=m, sublanes=64
+        ),
+        rt, rt, live,
+    )
+    _lower_tpu(
+        lambda a, b, m: pint.chunked_any_tiles(
+            ds, a, b, hit_mask=m, sublanes=64
+        ),
+        rt, rt, live,
+    )
+    small = jnp.ones((512, LANES), jnp.float32)
+    rt_s = (small, small, small)
+    live_s = jnp.ones((512, LANES), jnp.int32)
+    _lower_tpu(
+        lambda a, b, m: pint.chunked_closest_tiles(
+            ds, a, b, live_mask=m, sublanes=64
+        ),
+        rt_s, rt_s, live_s,
+    )
+    _lower_tpu(
+        lambda a, b, m: pint.chunked_any_tiles(
+            ds, a, b, hit_mask=m, sublanes=64
+        ),
+        rt_s, rt_s, live_s,
+    )
+
+
 def test_lint_actually_checks():
     """Negative control: a deliberately illegal block spec (last dim 20
     of a (64, 40) array — neither a 128-multiple nor the full dim) must
