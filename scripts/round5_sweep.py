@@ -82,6 +82,23 @@ CONFIGS = {
         ("r5_xxhi_bvh", {**XXHI, "BENCH_INTERSECTOR": "bvh"}, 3000),
         ("r5_xxhi_auto", {**XXHI, "BENCH_INTERSECTOR": "auto"}, 3000),
     ],
+    # Compositions of the round-5 single-lever winners, never measured
+    # together: TRI_CHUNK=32 (hi 6.34 / xhi 0.93 vs 6.22/0.89 auto) and
+    # RT_COMPACT_MORTON_BITS=4 (hi 6.25). TC32 doubles the chunk count,
+    # which changes both the compaction key's useful resolution and the
+    # cadence regime (hi: 484 chunks at TC32, still the K=2 mid-scale
+    # band — ce1 probes whether the doubled chunk count moves the
+    # cadence optimum the way >1024-chunk grids did).
+    "combo5": [
+        ("r5_hi_tc32_bits4",
+         {**HI, "RT_TRI_CHUNK": "32",
+          "RT_COMPACT_MORTON_BITS": "4"}, 1800),
+        ("r5_xhi_tc32_bits4",
+         {**XHI, "RT_TRI_CHUNK": "32",
+          "RT_COMPACT_MORTON_BITS": "4"}, 2400),
+        ("r5_hi_tc32_ce1",
+         {**HI, "RT_TRI_CHUNK": "32", "BENCH_COMPACT": "1"}, 1800),
+    ],
 }
 
 
