@@ -1353,6 +1353,65 @@ def test_raised_chunked_ceiling_routing():
     assert not pallas_intersect.sweep_supported(over)
 
 
+def test_dual_bound_capacity_search_preserves_inrange_decisions(
+    monkeypatch,
+):
+    """The round-5 SHORTLIST_TOTAL_SMEM_BUDGET bound (list + bounds
+    table, added for the raised-ceiling regime) must change NO decision
+    within the default 262,144-lane ceiling — PERFORMANCE.md claims
+    this via an exhaustive old-vs-new scan; this test IS that scan,
+    committed. Three parts: (a) the analytic invariant — for every
+    in-range chunk count the bounds table's allocation fits the slack
+    between the two budgets, so list<=512K implies total<=640K; (b)
+    literal old-vs-new equality over every in-range chunk count x a
+    tile ladder spanning 128^2..4096^2-class grids; (c) past the
+    ceiling the total bound really does bind (the decision CHANGES vs
+    the single-bound search) — the regime the fix exists for."""
+    from rsoderh_raytracing_tpu.ops import pallas_intersect as pint
+
+    for var in (
+        "RT_DISABLE_SHORTLIST",
+        "RT_SHORTLIST_GROUP",
+        "RT_DISABLE_GROUP_SHORTLIST",
+    ):
+        monkeypatch.delenv(var, raising=False)
+
+    def old_search(n_chunks, n_tiles):
+        # the round-4 single-bound search (list allocation only)
+        if n_chunks <= pint.SHORTLIST_MIN_CHUNKS:
+            return 0
+        g = 1
+        while g <= pint.MAX_SHORTLIST_GROUP:
+            n_entries = -(-n_chunks // g)
+            sl = n_tiles * pint._smem_row_bytes(n_entries * 4)
+            if sl <= pint.SHORTLIST_SMEM_BUDGET:
+                return g
+            g *= 2
+        return 0
+
+    default_ceiling_chunks = 262144 // pint.TRI_CHUNK  # 4,096 at TC=64
+    slack = pint.SHORTLIST_TOTAL_SMEM_BUDGET - pint.SHORTLIST_SMEM_BUDGET
+    for n_chunks in range(1, default_ceiling_chunks + 1):
+        assert 6 * pint._smem_row_bytes(n_chunks * 4) <= slack  # (a)
+
+    tile_ladder = (
+        list(range(1, 65))
+        + [96, 128, 192, 256, 384, 512, 768, 1024, 2048, 4096, 65536]
+    )
+    for n_chunks in range(1, default_ceiling_chunks + 1):
+        for n_tiles in tile_ladder:  # (b)
+            assert pint._shortlist_group(n_chunks, n_tiles) == old_search(
+                n_chunks, n_tiles
+            )
+
+    # (c) suzanne_xxhi's 15,488 chunks at a 256^2-class grid: the old
+    # search picked the flat list (500 KB alone) whose +366 KB bounds
+    # table measured HTTP 500 at compile; the dual bound degrades to
+    # G=2 (607 KB total, the measured-good 0.11 Mrays/s config).
+    assert old_search(15488, 8) == 1
+    assert pint._shortlist_group(15488, 8) == 2
+
+
 def test_auto_intersector_routing(monkeypatch, assets_dir, tiny_env):
     """intersector='auto' (the Renderer/CLI default) rides the kernel
     paths while any covers the scene; past EVERY kernel ceiling the
