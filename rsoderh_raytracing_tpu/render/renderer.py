@@ -327,7 +327,7 @@ class Renderer:
         if cached is not None and cached[0] == key:
             return cached[1]
 
-        from rsoderh_raytracing_tpu.ops import envmap, rng
+        from rsoderh_raytracing_tpu.ops import rng
 
         denv = self._device_env()
         env = self.environments[self.environment_index]
