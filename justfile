@@ -24,16 +24,17 @@ bench scene="house":
     BENCH_SCENE={{scene}} python bench.py
 
 # TPU-only parity checks + the per-round JSON artifact.
-smoke round="r04":
+smoke round="r05":
     python scripts/tpu_smoke.py --json docs/tpu_smoke_{{round}}.json
 
 # Viewer frame rate (converge + moving) at the default viewer config.
 viewer-fps scene="default":
     python scripts/viewer_fps.py {{scene}}
 
-# Resumable round-4 large-mesh experiment sweep (TPU).
-sweep log="/tmp/round4_sweep.jsonl":
-    python scripts/round4_sweep.py {{log}}
+# Resumable large-mesh experiment sweeps (TPU): round4_sweep.py and
+# round5_sweep.py are both resumable; default is the round-5 matrix.
+sweep log="/tmp/round5_sweep.jsonl":
+    python scripts/round5_sweep.py {{log}}
 
 # Raised-ceiling (RT_MAX_CHUNKED_TRIS) hardware image check on the
 # 991k-tri scene: `transparency` = kernel vs shortlist-disabled kernel
