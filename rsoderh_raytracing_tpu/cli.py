@@ -9,7 +9,8 @@ default; the interactive viewer is opt-in via ``--view``):
     --resolution WxH   output resolution          (default 512x512)
     --spp N            samples per pixel          (default 64)
     --max-bounces N    path depth                 (default 10)
-    --output PATH      PNG output                 (default render.png)
+    --output PATH      image output; .png = tonemapped sRGB,
+                       .hdr = linear Radiance RGBE (default render.png)
     --env-index N      environment index          (default 0)
     --hdri-dir DIR     directory of .hdr/.npy HDRIs
     --checkpoint PATH  save/load accumulation state (.npz)
@@ -188,7 +189,10 @@ def main(argv=None) -> int:
     start = time.perf_counter()
     renderer.render(spp=args.spp, progress=not args.quiet, mode=args.mode)
     elapsed = time.perf_counter() - start
-    renderer.save_png(args.output)
+    if args.output.lower().endswith(".hdr"):
+        renderer.save_hdr(args.output)
+    else:
+        renderer.save_png(args.output)
     if args.save_checkpoint:
         renderer.save_checkpoint(args.save_checkpoint)
     if not args.quiet:

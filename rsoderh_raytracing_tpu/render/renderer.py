@@ -249,6 +249,21 @@ class Renderer:
     def save_png(self, path: str) -> None:
         write_png(path, self.film.srgb8())
 
+    def save_hdr(self, path: str) -> None:
+        """Write the LINEAR mean radiance as a Radiance .hdr file —
+        the un-tonemapped HDR counterpart of save_png, through the same
+        RGBE codec that loads environments (env/hdr_io.py). An output
+        the reference cannot produce (it only presents tonemapped
+        frames to a window surface, src/hdr.rs:162-181); the file
+        round-trips through load_image/read_hdr to RGBE-quantized
+        radiance, so renders can feed pipelines or even serve as
+        emissive environment maps."""
+        from rsoderh_raytracing_tpu.env.hdr_io import write_hdr
+
+        write_hdr(
+            path, np.asarray(self.film.mean_radiance(), np.float32)
+        )
+
     def _state_stamp(self) -> np.ndarray:
         """Deterministic cross-process render-state identity: the
         camera's raw f32 bit pattern (via its serialization codec) plus

@@ -33,6 +33,36 @@ def test_cli_renders_png(assets_dir, tmp_path):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_cli_renders_linear_hdr(assets_dir, tmp_path):
+    """--output x.hdr writes LINEAR radiance as Radiance RGBE: the file
+    must read back (through the same codec that loads environments) as
+    exactly the RGBE quantization of the film's mean radiance — not the
+    tonemapped display image."""
+    from rsoderh_raytracing_tpu.env.hdr_io import read_hdr, rgbe_quantize
+    from rsoderh_raytracing_tpu.render.renderer import Renderer
+    from rsoderh_raytracing_tpu.scene.toml_loader import load_scene
+
+    args = _tiny_args(assets_dir, tmp_path)
+    args[args.index("--output") + 1] = str(tmp_path / "out.hdr")
+    assert main(args) == 0
+    img = read_hdr(str(tmp_path / "out.hdr"))
+    assert img.shape == (16, 24, 3) and np.isfinite(img).all()
+
+    # Same render in-process: the CLI's file must be the RGBE-quantized
+    # mean radiance of an identical film (RNG streams are deterministic
+    # per (pixel, sample), so the two renders agree bitwise).
+    scene = load_scene(
+        os.path.join(assets_dir, "scenes", "default.toml")
+    )
+    r = Renderer(scene, width=24, height=16, max_bounces=3)
+    r.render(spp=2, progress=False)
+    expect = rgbe_quantize(
+        np.asarray(r.film.mean_radiance(), np.float32)
+    )
+    np.testing.assert_array_equal(img, expect)
+    assert img.max() > 0.0
+
+
 def test_cli_bad_keyboard_layout_exit_2(assets_dir, tmp_path, capsys):
     code = main(
         _tiny_args(assets_dir, tmp_path, extra=["--movement-keys", "wasd"])
