@@ -35,6 +35,14 @@ if _os.environ.get("RT_DEBUG_NANS") == "1":
 from rsoderh_raytracing_tpu.scene.toml_loader import load_scene  # noqa: F401
 from rsoderh_raytracing_tpu.scene.camera import Camera  # noqa: F401
 
+# The `render` SUBPACKAGE shares its name with the `render()` function
+# below. Import it eagerly so Python binds the package attribute NOW
+# and the `def render` below wins permanently — otherwise the first
+# deep import (e.g. rsoderh_raytracing_tpu.render.renderer, which
+# render() itself performs) rebinds the attribute to the module and a
+# second `rt.render(...)` raises TypeError: 'module' is not callable.
+import rsoderh_raytracing_tpu.render  # noqa: E402,F401
+
 
 def render(scene, width=512, height=512, spp=16, **kwargs):
     """Convenience one-shot render. See render/renderer.py:Renderer."""

@@ -260,6 +260,7 @@ def build_device_scene(
         thresh = _os.environ.get("RT_BVH_ABOVE_TRIS")
         if not with_bvh and thresh and t_probe > int(thresh):
             with_bvh = True
+    tri_explicit_valid = None
     if (
         total_small > MAX_UNROLL_PRIMS
         and len(tris) > 0
@@ -269,14 +270,37 @@ def build_device_scene(
         # (Skipped when a BVH is attached: accel/bvh.py's leaf primitive
         # indices refer to the host scene's triangle order — the BVH
         # traversal validation path must keep slot i == host triangle i.)
-        # Chunked-path scenes: Morton-order triangles by centroid so each
-        # TRI_CHUNK window is spatially compact — tight chunk AABBs make
-        # the kernels' per-chunk slab culls fire far more often (suzanne:
-        # total chunk surface area 143 -> 96, coherent 64x128-pixel blocks
-        # touch 3.2 of 16 chunks instead of 6.8 — measured). Pure
-        # storage-order change: the closest hit is a min over the same
-        # set; only exact-tie winners (measure-zero) can differ.
-        tris = tris[_morton_order(scene.meshes.vertices, tris)]
+        # Chunked-path scenes: cluster triangles so each TRI_CHUNK window
+        # is spatially compact — tight chunk AABBs make the kernels'
+        # per-chunk slab culls fire far more often (suzanne: total chunk
+        # surface area 143 -> 96, coherent 64x128-pixel blocks touch 3.2
+        # of 16 chunks instead of 6.8 — measured). Pure storage-order
+        # changes: the closest hit is a min over the same set; only
+        # exact-tie winners (measure-zero) can differ.
+        # RT_CHUNK_CLUSTER picks the order (scene/cluster.py):
+        #   morton  - centroid Morton curve (default)
+        #   bvh     - SAH-BVH depth-first leaf order (chunk sumSA -9%
+        #             on suzanne_hi, -18% on suzanne_xhi, free)
+        #   treelet - SAH subtree cuts padded to whole chunks (per-chunk
+        #             sumSA 2.2-3.1x tighter, ~40% more chunks; pad rows
+        #             are unhittable det==0 degenerates)
+        cluster = _os.environ.get("RT_CHUNK_CLUSTER", "morton")
+        if cluster == "morton":
+            tris = tris[_morton_order(scene.meshes.vertices, tris)]
+        elif cluster == "bvh":
+            from rsoderh_raytracing_tpu.scene.cluster import bvh_dfs_order
+
+            tris = tris[bvh_dfs_order(scene.meshes.vertices, tris)]
+        elif cluster == "treelet":
+            from rsoderh_raytracing_tpu.scene.cluster import treelet_pack
+
+            tris, tri_explicit_valid = treelet_pack(
+                scene.meshes.vertices, tris, TRI_CHUNK
+            )
+        else:
+            raise ValueError(
+                f"RT_CHUNK_CLUSTER={cluster!r}: expected morton|bvh|treelet"
+            )
 
     tri_pad = pad_to if total_small <= MAX_UNROLL_PRIMS else TRI_CHUNK
     t_n = _round_up(len(tris), tri_pad)
@@ -301,7 +325,13 @@ def build_device_scene(
         tri_n1[: len(tris)] = n[tris[:, 4]]
         tri_n2[: len(tris)] = n[tris[:, 5]]
         tri_material[: len(tris)] = tris[:, 6]
-        tri_valid[: len(tris)] = True
+        # treelet_pack emits in-chunk pad rows (collapsed to a single
+        # vertex, det == 0, unhittable) interleaved with real triangles;
+        # its explicit mask replaces the tail-only True fill.
+        if tri_explicit_valid is not None:
+            tri_valid[: len(tris)] = tri_explicit_valid
+        else:
+            tri_valid[: len(tris)] = True
 
     # Precompute intersection constants. sph_c2 uses float64 (the
     # |c|^2 - r^2 cancellation is precision-sensitive); the triangle
