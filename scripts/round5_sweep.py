@@ -89,6 +89,24 @@ CONFIGS = {
     # cadence regime (hi: 484 chunks at TC32, still the K=2 mid-scale
     # band — ce1 probes whether the doubled chunk count moves the
     # cadence optimum the way >1024-chunk grids did).
+    # SAH-derived chunk clustering (scene/cluster.py, RT_CHUNK_CLUSTER):
+    # host-side probe numbers (scripts/chunk_cluster_probe.py) say bvh
+    # order cuts total chunk SA -9%/-18% free, treelet cuts per-chunk SA
+    # 2.2-3.1x for ~40% more chunks. Fresh same-session anchors first —
+    # hi/xhi session variance is ~10%. Treelet on xhi pads 3,872 ->
+    # 5,482 chunks = 350,848 lanes, past the default ceiling, so it
+    # rides the raised-ceiling knob (measured safe at 991k lanes).
+    "cluster": [
+        ("r5b_hi_anchor", dict(HI), 2400),
+        ("r5b_hi_clus_bvh", {**HI, "RT_CHUNK_CLUSTER": "bvh"}, 2400),
+        ("r5b_hi_clus_treelet",
+         {**HI, "RT_CHUNK_CLUSTER": "treelet"}, 2400),
+        ("r5b_xhi_anchor", dict(XHI), 3000),
+        ("r5b_xhi_clus_bvh", {**XHI, "RT_CHUNK_CLUSTER": "bvh"}, 3000),
+        ("r5b_xhi_clus_treelet",
+         {**XHI, "RT_CHUNK_CLUSTER": "treelet",
+          "RT_MAX_CHUNKED_TRIS": "1048576"}, 3000),
+    ],
     "combo5": [
         ("r5_hi_tc32_bits4",
          {**HI, "RT_TRI_CHUNK": "32",

@@ -282,6 +282,34 @@ def test_xxhi_scale_raised_ceiling_lowers(monkeypatch):
     )
 
 
+def test_treelet_cluster_programs_lower(monkeypatch):
+    """RT_CHUNK_CLUSTER=treelet changes chunk counts (suzanne_hi 242 ->
+    ~340 padded SAH-treelet chunks) and therefore the shortlist-regime
+    selection and SMEM table shapes. Lower the closest + occlusion
+    programs the router would pick at the flagship tile count, at both
+    production sublane heights."""
+    monkeypatch.setenv("RT_CHUNK_CLUSTER", "treelet")
+    ds = build_device_scene(
+        load_scene(os.path.join(ASSETS, "scenes", "suzanne_hi.toml"))
+    )
+    assert pint.scene_chunk_count(ds) > 242  # padded treelet chunks
+    rt = _tiles()
+    live = jnp.ones((ROWS, LANES), jnp.int32)
+    for sub in (64, 32):
+        _lower_tpu(
+            lambda a, b, m, s=sub: pint.chunked_closest_tiles(
+                ds, a, b, live_mask=m, sublanes=s
+            ),
+            rt, rt, live,
+        )
+        _lower_tpu(
+            lambda a, b, m, s=sub: pint.chunked_any_tiles(
+                ds, a, b, hit_mask=m, sublanes=s
+            ),
+            rt, rt, live,
+        )
+
+
 def test_lint_actually_checks():
     """Negative control: a deliberately illegal block spec (last dim 20
     of a (64, 40) array — neither a 128-multiple nor the full dim) must
